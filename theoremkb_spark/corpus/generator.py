@@ -1,0 +1,385 @@
+"""Deterministic synthetic scholarly-web-page corpus.
+
+Materializes the ``pages(url, warc_ts, html, text, lang)`` input table of
+``BASELINE.json input_hint`` plus the citation ``entity_dict`` broadcast
+table (FIXTURES.md §1/§5). Fully seeded and pure — two calls with the same
+``(n_docs, seed)`` produce byte-identical output (no wall clock, no global
+RNG).
+
+Each document embeds the structures the KG pipeline must recover:
+
+* result statements headed by a bold keyword + number ("Theorem 1.2."),
+  detectable by the naive rule labeler (ref semantics:
+  Styling/src/lib/extractors/results/naive_extractor.py:20-55);
+* proofs — anonymous ("Proof.") exercising the last-theorem fallback
+  (ref: extract_graph.py:247-254) and explicit ("Proof of Theorem 1.2.");
+* intra-document references, plain and goto-linked (``#in`` semantics),
+  conjunction lists ("Theorems 1.1 and 1.2"), abbreviations ("thm. 1.2");
+* citation anchors ("[EXT3]") carrying ``cite`` links, resolved through
+  the entity dictionary, with one hot target (~30% of docs) for the
+  skew/salting path and alias urls for canonicalization;
+* NFKD/ligature and hyphen-break cases exercising text normalization;
+* ~1% of docs ~30x longer than the median (skew), ~5% non-English rows.
+
+The per-document token hierarchy mirrors ALTO Page>TextBlock>TextLine>
+String (ref: Styling/src/lib/paper/features.py:14-20) rendered as
+simple HTML; the frozen extracted-text rule is the reference ``get_text``:
+token texts joined by single spaces within a line, '\\n' per line
+(ref: Styling/src/lib/misc/__init__.py:9-25).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import random
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+VOCAB = (
+    "abound bracket candor dorsal ember fathom gleam hollow ivory jostle "
+    "kernel lattice meadow nimble orbit plume quartz ripple saddle tundra "
+    "umbral vortex willow xenial yonder zephyr acumen bramble cinder drift "
+    "enclave furrow grotto harbor inlet juncture knoll ledger mosaic nectar "
+    "oracle parapet quiver rampart sojourn tessera undertow vellum warble "
+    "yeoman zenith atrium bastion cobalt dynamo eddy flint gossamer hearth"
+).split()
+
+LIGATURE_WORDS = ("eﬃcient", "inﬁnite", "reﬂect")  # ﬃ ﬁ ﬂ
+
+STATEMENT_KINDS = (
+    ("theorem", "Theorem", 0.30),
+    ("lemma", "Lemma", 0.25),
+    ("proposition", "Proposition", 0.12),
+    ("definition", "Definition", 0.12),
+    ("corollary", "Corollary", 0.08),
+    ("remark", "Remark", 0.05),
+    ("claim", "Claim", 0.04),
+    ("conjecture", "Conjecture", 0.02),
+    ("assumption", "Assumption", 0.02),
+)
+
+FONTS = (
+    ("f0", "CMR10", 9.96),       # regular
+    ("f1", "CMBX10", 9.96),      # bold   (bold_re: CMBX)
+    ("f2", "CMTI12", 9.96),      # italic (italic_re: TI12)
+    ("f3", "CMMI10", 9.96),      # math   (math_re: CMMI)
+)
+
+N_EXTERNALS = 40
+HOT_EXTERNAL = 0  # EXT0 is cited by ~30% of docs (skew target)
+
+EPOCH = datetime(2024, 5, 1, 0, 0, 0)
+
+LINES_PER_PAGE = 45
+
+
+@dataclass
+class Token:
+    text: str
+    font: str = "f0"
+    link: str | None = None  # None | "in" | "cite"
+
+
+@dataclass
+class Block:
+    kind: str  # "title" | "para" | one of the result labels
+    lines: list[list[Token]] = field(default_factory=list)
+
+
+@dataclass
+class Doc:
+    url: str
+    title: str
+    lang: str
+    blocks: list[Block]
+    idx: int
+
+    @property
+    def warc_ts(self) -> datetime:
+        return EPOCH + timedelta(seconds=(self.idx * 9973) % 31536000)
+
+
+def _word(rng: random.Random) -> str:
+    if rng.random() < 0.01:
+        return rng.choice(LIGATURE_WORDS)
+    return rng.choice(VOCAB)
+
+
+def _words(rng: random.Random, n: int) -> list[Token]:
+    out = []
+    for _ in range(n):
+        font = "f3" if rng.random() < 0.03 else "f0"
+        out.append(Token(_word(rng), font))
+    return out
+
+
+def _title_words(i: int) -> list[str]:
+    """Letters-only unique title core for doc i (norm_title-collision-free)."""
+    v = len(VOCAB)
+    return [VOCAB[(i // (v * v)) % v], VOCAB[(i // v) % v], VOCAB[i % v]]
+
+
+def doc_url(i: int) -> str:
+    return f"https://arxiv.example/abs/p{i:06d}"
+
+
+def externals(seed: int = 42):
+    """External citable papers: (key, canonical_url, alias_url|None, title)."""
+    rng = random.Random(f"{seed}/externals")
+    out = []
+    for k in range(N_EXTERNALS):
+        title = " ".join(
+            [VOCAB[(k * 7 + j) % len(VOCAB)] for j in range(4)] + ["extern", VOCAB[k % len(VOCAB)]]
+        )
+        canonical = f"https://doi.example/10.5555/ext{k:03d}"
+        alias = f"https://arxiv.example/abs/ext{k:03d}" if rng.random() < 0.35 else None
+        out.append((f"EXT{k}", canonical, alias, title))
+    return out
+
+
+def _ref_phrase(rng: random.Random, own_results: list[tuple[str, str]], kw_title: dict):
+    """Tokens referencing an earlier result of the same doc (intra)."""
+    kind, num = rng.choice(own_results)
+    style = rng.random()
+    if style < 0.25:
+        # goto-linked intra ref: number carries an "in" link
+        return [Token("by"), Token(kw_title[kind]), Token(num, link="in")]
+    if style < 0.40 and kind in ("theorem", "lemma", "proposition"):
+        abbr = {"theorem": "thm.", "lemma": "lem.", "proposition": "prop."}[kind]
+        return [Token("see"), Token(abbr), Token(num)]
+    if style < 0.55 and len(own_results) >= 2:
+        other = rng.choice(own_results)
+        if other[0] == kind and other[1] != num:
+            return [
+                Token("using"),
+                Token(kw_title[kind] + "s"),
+                Token(num),
+                Token("and"),
+                Token(other[1]),
+            ]
+    return [Token("by"), Token(kw_title[kind]), Token(num)]
+
+
+def _cite_phrase(rng: random.Random, tags: list[str], with_result: bool):
+    """Tokens citing an external work; optionally naming a result in it."""
+    tag = rng.choice(tags)
+    anchor = Token(f"[{tag}]", link="cite")
+    if with_result:
+        num = f"{rng.randint(1, 5)}.{rng.randint(1, 9)}"
+        return [Token("Theorem"), Token(num), Token("of"), anchor]
+    return [Token("see"), anchor]
+
+
+def build_doc(i: int, seed: int = 42, cite_tags: list[str] | None = None) -> Doc:
+    rng = random.Random(f"{seed}/doc/{i}")
+    url = doc_url(i)
+    lang = "en" if rng.random() >= 0.05 else rng.choice(["fr", "de"])
+    long_doc = i % 97 == 0
+    kw_title = {k: t for k, t, _ in STATEMENT_KINDS}
+    kinds, weights = zip(*[(k, w) for k, _, w in STATEMENT_KINDS])
+
+    title_core = _title_words(i)
+    title = " ".join(["on", "the"] + title_core + ["problem"])
+    blocks: list[Block] = [Block("title", [[Token(w.capitalize(), "f1") for w in title.split()]])]
+
+    cite_tags = cite_tags or []
+    n_sections = 3 if long_doc else rng.randint(1, 3)
+    own_results: list[tuple[str, str]] = []  # (kind, num) in order of appearance
+    para_scale = 30 if long_doc else 1
+
+    for sec in range(1, n_sections + 1):
+        counter = 0
+        n_items = rng.randint(2, 4) * (3 if long_doc else 1)
+        for _ in range(n_items):
+            # leading prose paragraph(s)
+            for _ in range(rng.randint(1, 2) * para_scale):
+                body = _words(rng, rng.randint(12, 40))
+                if rng.random() < 0.15 and cite_tags:
+                    pos = rng.randint(0, len(body))
+                    body[pos:pos] = _cite_phrase(rng, cite_tags, with_result=False)
+                if rng.random() < 0.05:
+                    # hyphen-break normalization case: "fur- row"
+                    pos = rng.randint(0, len(body))
+                    body[pos:pos] = [Token("fur-"), Token("row")]
+                blocks.append(Block("para", _to_lines(body)))
+
+            counter += 1
+            kind = rng.choices(kinds, weights=weights, k=1)[0]
+            num = f"{sec}.{counter}"
+            unnamed = kind == "remark" and rng.random() < 0.25
+            head = (
+                [Token(kw_title[kind] + ".", "f1")]
+                if unnamed
+                else [Token(kw_title[kind], "f1"), Token(num + ".", "f1")]
+            )
+            body = _words(rng, rng.randint(10, 35))
+            if own_results and rng.random() < 0.5:
+                pos = rng.randint(0, len(body))
+                body[pos:pos] = _ref_phrase(rng, own_results, kw_title)
+            if cite_tags and rng.random() < 0.25:
+                pos = rng.randint(0, len(body))
+                body[pos:pos] = _cite_phrase(rng, cite_tags, with_result=True)
+            blocks.append(Block(kind, _to_lines(head + body)))
+            if not unnamed:
+                own_results.append((kind, num))
+
+                # maybe a proof block right after
+                if kind in ("theorem", "lemma", "proposition", "claim") and rng.random() < 0.65:
+                    explicit = rng.random() < 0.4
+                    phead = (
+                        [
+                            Token("Proof", "f2"),
+                            Token("of", "f2"),
+                            Token(kw_title[kind], "f2"),
+                            Token(num + ".", "f2"),
+                        ]
+                        if explicit
+                        else [Token("Proof.", "f2")]
+                    )
+                    pbody = _words(rng, rng.randint(15, 50))
+                    if own_results and rng.random() < 0.5:
+                        pos = rng.randint(0, len(pbody))
+                        pbody[pos:pos] = _ref_phrase(rng, own_results, kw_title)
+                    if cite_tags and rng.random() < 0.15:
+                        pos = rng.randint(0, len(pbody))
+                        pbody[pos:pos] = _cite_phrase(rng, cite_tags, with_result=True)
+                    blocks.append(Block("proof", _to_lines(phead + pbody + [Token("QED")])))
+
+    return Doc(url=url, title=title, lang=lang, blocks=blocks, idx=i)
+
+
+def _to_lines(tokens: list[Token], per_line: int = 8) -> list[list[Token]]:
+    return [tokens[j : j + per_line] for j in range(0, len(tokens), per_line)] or [[]]
+
+
+def doc_text(doc: Doc) -> str:
+    """Frozen extracted-text rule (byte-identical invariant target).
+
+    Semantics of reference ``get_text`` (misc/__init__.py:9-25): word
+    CONTENTs joined by single spaces within a TextLine, '\\n' appended per
+    line; blocks/pages concatenate with no extra separator.
+    """
+    out = []
+    for block in doc.blocks:
+        for line in block.lines:
+            out.append(" ".join(t.text for t in line))
+            out.append("\n")
+    return "".join(out)
+
+
+def render_html(doc: Doc) -> bytes:
+    """Render the token hierarchy to the synthetic HTML page format."""
+    parts = [
+        "<html><head><title>",
+        _html.escape(doc.title, quote=False),
+        "</title>\n",
+    ]
+    for fid, family, size in FONTS:
+        parts.append(f'<meta name="font" id="{fid}" family="{family}" size="{size}"/>\n')
+    parts.append("</head><body>\n")
+
+    line_no = 0  # running line count; a block lands on the page of its first line
+    cur_page = -1
+    block_idx = 0
+    for block in doc.blocks:
+        page = line_no // LINES_PER_PAGE
+        if page != cur_page:
+            if cur_page >= 0:
+                parts.append("</section>\n")
+            parts.append(f'<section class="page" n="{page}">\n')
+            cur_page = page
+        parts.append(f'<div class="block" n="{block_idx}">\n')
+        for li, line in enumerate(block.lines):
+            vpos = 72.0 + 11.5 * (line_no - cur_page * LINES_PER_PAGE)
+            parts.append('<p class="line">')
+            hpos = 56.0
+            for tok in line:
+                width = round(5.2 * len(tok.text), 2)
+                attrs = f'f="{tok.font}" x="{hpos}" y="{vpos}" w="{width}" h="9.0"'
+                if tok.link:
+                    attrs += f' l="{tok.link}"'
+                parts.append(f"<w {attrs}>{_html.escape(tok.text, quote=False)}</w>")
+                hpos = round(hpos + width + 3.1, 2)
+            parts.append("</p>\n")
+            line_no += 1
+        parts.append("</div>\n")
+        block_idx += 1
+    if cur_page >= 0:
+        parts.append("</section>\n")
+    parts.append("</body></html>\n")
+    return "".join(parts).encode("utf-8")
+
+
+def _doc_cite_targets(i: int, seed: int, exts, n_docs: int):
+    """Deterministic per-doc citation targets: [(tag, pdf_to, title)]."""
+    rng = random.Random(f"{seed}/cites/{i}")
+    targets = []
+    if rng.random() < 0.30:  # hot external — skew target
+        key, canonical, alias, title = exts[HOT_EXTERNAL]
+        targets.append((key, canonical, title))
+    for _ in range(rng.randint(0, 4)):
+        if rng.random() < 0.7:
+            k = rng.randint(1, N_EXTERNALS - 1)
+            key, canonical, alias, title = exts[k]
+            pdf_to = alias if (alias and rng.random() < 0.5) else canonical
+            targets.append((key, pdf_to, title))
+        elif n_docs > 1:
+            j = rng.randint(0, n_docs - 1)
+            if j != i:
+                targets.append((f"P{j}", doc_url(j), " ".join(_title_words(j))))
+    if rng.random() < 0.02:  # unresolvable anchor: tag absent from the dict
+        targets.append((f"GHOST{i}", None, None))
+    # dedupe by tag, keep first
+    seen, out = set(), []
+    for tag, pdf_to, title in targets:
+        if tag not in seen:
+            seen.add(tag)
+            out.append((tag, pdf_to, title))
+    return out
+
+
+def build_corpus(n_docs: int, seed: int = 42):
+    """Yield (doc, cite_targets) for each document."""
+    exts = externals(seed)
+    for i in range(n_docs):
+        targets = _doc_cite_targets(i, seed, exts, n_docs)
+        tags = [t for t, _, _ in targets]
+        yield build_doc(i, seed, cite_tags=tags), targets
+
+
+def pages_rows(n_docs: int, seed: int = 42):
+    """Rows of the pages input table (FIXTURES.md §1)."""
+    for doc, _ in build_corpus(n_docs, seed):
+        yield {
+            "url": doc.url,
+            "warc_ts": doc.warc_ts,
+            "html": render_html(doc),
+            "text": doc_text(doc),
+            "lang": doc.lang,
+        }
+
+
+def entity_dict_rows(n_docs: int, seed: int = 42):
+    """Rows of the citation/entity dictionary (FIXTURES.md §5).
+
+    (url, tag, pdf_to, title, norm_title) — one row per (citing doc, tag);
+    rows with a GHOST tag are omitted (unresolvable anchors).
+    """
+    import re as _re
+
+    rows = []
+    for i in range(n_docs):
+        url = doc_url(i)
+        for tag, pdf_to, title in _doc_cite_targets(i, seed, externals(seed), n_docs):
+            if pdf_to is None:
+                continue
+            rows.append(
+                {
+                    "url": url,
+                    "tag": tag,
+                    "pdf_to": pdf_to,
+                    "title": title,
+                    "norm_title": _re.sub(r"[^a-z]", "", title.lower()),
+                }
+            )
+    return rows

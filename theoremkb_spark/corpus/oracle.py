@@ -1,0 +1,177 @@
+"""Reference-semantics oracle: sequential, single-threaded triple extraction.
+
+A deliberately simple Python mirror of the reference KG constructor
+(``Styling/tools/theoremdb/extract_graph.py:133-288``) run over the
+generator's token structures. The Spark pipeline is graded against this
+oracle (triple P/R >= 0.95 gate, BASELINE.md), exactly as the reference's
+``cli.py test`` harness compares predicted vs gold labels
+(``Styling/src/cli.py:169-198``) — but at triple granularity.
+
+Kept free of any Spark/pandas machinery on purpose: per-doc loops, dicts,
+and a union-find. Slow and obvious beats fast and clever here.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..functions.text import (
+    RESULT_LABELS,
+    find_ref_results,
+    find_thm_proof,
+    find_thm_start,
+    get_pattern,
+    normalize_text,
+)
+from .generator import Block, Doc
+
+BOLD_OR_ITALIC = {"f1", "f2"}
+RE_NUM_MARK = re.compile(r"(([a-z]\.)?\d+(\.\d+)*)", re.IGNORECASE)
+
+
+def detect_spans(doc: Doc) -> list[tuple[int, str, Block]]:
+    """Naive rule-labeler semantics (naive_extractor.py:20-55): a span opens
+    at a line whose first token's word-pattern is a result label in bold or
+    italic; a block-initial line that does not open closes the current span.
+    Returns [(group, label, block)] — in this corpus a span is one block."""
+    spans = []
+    group = 0
+    open_label = None
+    for block in doc.blocks:
+        first = block.lines[0][0] if block.lines and block.lines[0] else None
+        opened = (
+            first is not None
+            and first.font in BOLD_OR_ITALIC
+            and get_pattern(first.text) in RESULT_LABELS
+        )
+        if opened:
+            group += 1
+            open_label = get_pattern(first.text)
+            spans.append((group, open_label, block))
+        else:
+            open_label = None  # block-initial line closes any open span
+    return spans
+
+
+def assemble_span_text(block: Block) -> str:
+    """Span text with link markers, then normalized (extract_results
+    semantics, extract_graph.py:147-221): cite anchors wrapped as
+    <LINK:anchor>, goto-linked numbers suffixed with #in, tokens joined
+    with single spaces, then de-hyphenate + NFKD."""
+    parts = []
+    for line in block.lines:
+        for tok in line:
+            if tok.link == "cite":
+                parts.append(f"<LINK:{tok.text}>")
+            elif tok.link == "in":
+                parts.append(RE_NUM_MARK.sub(r"\1#in", tok.text))
+            else:
+                parts.append(tok.text)
+    return normalize_text(" ".join(parts))
+
+
+def oracle_doc_triples(doc: Doc, dico: dict[str, str]) -> set[tuple[str, str, str, str]]:
+    """(subj, pred, obj, url) triples for one document.
+
+    ``dico`` maps this doc's citation tags to (already canonicalized)
+    target urls. Mirrors extract_links (extract_graph.py:232-288) with the
+    triple mapping frozen in FIXTURES.md §6.
+    """
+    url = doc.url
+    triples: set[tuple[str, str, str, str]] = set()
+    if doc.lang != "en":
+        return triples
+
+    last_thm: str | None = None
+    out_res: set[str] = set()
+
+    def resolve(tag: str) -> str:
+        return dico.get(tag, f"unresolved:{tag}")
+
+    for group, label, block in detect_spans(doc):
+        text = assemble_span_text(block)
+        if label == "proof":
+            target = find_thm_proof(text) or last_thm
+            own = target
+            if target:
+                tl = target.lower()
+                out_res.add(tl)
+                triples.add((f"{url}#{tl}", "proved_in", url, url))
+        else:
+            thm = find_thm_start(text)
+            last_thm = thm
+            own = thm
+            if thm:
+                tl = thm.lower()
+                out_res.add(tl)
+                if label == "definition":
+                    triples.add((f"{url}#{tl}", "defined_in", url, url))
+
+        _, intras, extras = find_ref_results(own, text)
+        subj = f"{url}#{own.lower()}" if own else None
+        if subj:
+            for name in set(intras):
+                triples.add((subj, "cites", f"{url}#{name.lower()}", url))
+            for tag, name in set(extras):
+                triples.add((subj, "cites", f"{resolve(tag)}#{name.lower()}", url))
+
+    for name in out_res:
+        triples.add((f"{url}#{name}", "statement_of", url, url))
+
+    # doc-wide paper-level citations (every cite anchor, spans or prose)
+    for block in doc.blocks:
+        for line in block.lines:
+            for tok in line:
+                if tok.link == "cite":
+                    tag = re.sub(r"\W", "", tok.text)
+                    triples.add((url, "cites", resolve(tag), url))
+
+    return triples
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        self.parent.setdefault(x, x)
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic representative: lexicographic min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+def canonical_map(entity_rows: list[dict]) -> dict[str, str]:
+    """Alias resolution: target urls sharing a norm_title are coreferent;
+    canonical id = lexicographically smallest url in the cluster."""
+    uf = UnionFind()
+    by_title: dict[str, str] = {}
+    for row in entity_rows:
+        t = row["norm_title"]
+        if t in by_title:
+            uf.union(by_title[t], row["pdf_to"])
+        else:
+            by_title[t] = row["pdf_to"]
+            uf.find(row["pdf_to"])
+    return {u: uf.find(u) for u in list(uf.parent)}
+
+
+def oracle_triples(docs_with_targets, entity_rows) -> set[tuple[str, str, str, str]]:
+    """Full-corpus oracle: canonicalize the dictionary, then per-doc triples."""
+    canon = canonical_map(entity_rows)
+    dico_all: dict[str, dict[str, str]] = {}
+    for row in entity_rows:
+        dico_all.setdefault(row["url"], {})[row["tag"]] = canon.get(
+            row["pdf_to"], row["pdf_to"]
+        )
+    out: set[tuple[str, str, str, str]] = set()
+    for doc, _targets in docs_with_targets:
+        out |= oracle_doc_triples(doc, dico_all.get(doc.url, {}))
+    return out

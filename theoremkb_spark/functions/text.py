@@ -1,0 +1,204 @@
+"""Frozen text semantics of the KG pipeline.
+
+These pure functions freeze the behaviour of the reference system's text
+utilities and mention-mining regexes (studied at
+``Styling/src/lib/misc/__init__.py:9-43``,
+``Styling/tools/theoremdb/extract_graph.py:15-130``). They are used inside
+Arrow-batched pandas UDFs (never per-row Python UDFs) and are unit-tested
+against table-driven edge cases.
+
+Everything here must stay pure and deterministic: no wall clock, no RNG,
+no I/O.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# Result-span label vocabulary (ref: Styling/src/lib/classes/__init__.py:120-131).
+RESULT_LABELS = (
+    "lemma",
+    "theorem",
+    "proposition",
+    "definition",
+    "remark",
+    "corollary",
+    "claim",
+    "conjecture",
+    "assumption",
+    "proof",
+)
+
+# Keywords that can introduce a reference to a result
+# (ref: Styling/tools/config/__init__.py:60-76 LIST_RESULTS plus the
+# abbreviations appended at extract_graph.py:15).
+RESULT_KEYWORDS = (
+    "theorem",
+    "claim",
+    "conjecture",
+    "corollary",
+    "definition",
+    "lemma",
+    "proposition",
+    "remark",
+    "assumption",
+    "thm.",
+    "lem.",
+    "prop.",
+)
+
+ABBREVIATIONS = {"thm.": "theorem", "lem.": "lemma", "prop.": "proposition"}
+
+_KEYWORD_ALT = "|".join(re.escape(k) for k in RESULT_KEYWORDS)
+
+# number part of a result name: optional single-letter section prefix
+# ("a.") then dotted number, e.g. "3", "3.1", "a.2.4"
+_NUM = r"([a-z]\.)?[\d]+(\.\d+)*"
+
+RE_PATTERN_NOT_ALNUM = re.compile(r"[^a-zA-Z0-9 ]")
+RE_PATTERN_DIGIT = re.compile(r"[0-9]")
+
+RE_DEHYPHEN = re.compile(r"(\w)-\s+(\w)")
+
+RE_THM_START = re.compile(rf"((open )?(\w+) {_NUM})", re.IGNORECASE)
+
+RE_PROOF_BRACKET = re.compile(r"Proof. \[([^\]]+)\]", re.IGNORECASE)
+RE_PROOF_OF = re.compile(rf"Proof of ((\w+) {_NUM})", re.IGNORECASE)
+RE_RESULT_NAME = re.compile(rf"((\w+) {_NUM})", re.IGNORECASE)
+
+RE_REFS = re.compile(
+    rf"(({_KEYWORD_ALT})(s)? (({_NUM})(#in)?(\s?(and|,|&) {_NUM}(#in)?)*))",
+    re.IGNORECASE,
+)
+RE_NUMS = re.compile(rf"({_NUM})", re.IGNORECASE)
+RE_LINK_MARK = re.compile(r"<LINK:([^>]+)>")
+RE_NONWORD = re.compile(r"\W")
+RE_REFTO_IS_RESULT = re.compile(
+    rf"(({_KEYWORD_ALT}|section|algorithm)([a-z])?[\d]+)", re.IGNORECASE
+)
+
+
+def get_pattern(text: str) -> str:
+    """Word shape: strip non-alnum, digits -> '@', lowercase.
+
+    Mirrors ``get_pattern`` (misc/__init__.py:32-43):
+    ``"Page 10/52" -> "page @@@@"``.
+    """
+    return RE_PATTERN_DIGIT.sub("@", RE_PATTERN_NOT_ALNUM.sub("", text)).lower()
+
+
+def normalize_text(text: str) -> str:
+    """De-hyphenate across whitespace then NFKD-normalize
+    (ref: extract_graph.py:21-23)."""
+    return unicodedata.normalize("NFKD", RE_DEHYPHEN.sub(r"\1\2", text))
+
+
+def norm_title(title: str) -> str:
+    """Title normalization for citation matching
+    (ref: tools/references/get_links.py:76-77): lowercase, keep [a-z] only."""
+    return re.sub(r"[^a-z]", "", title.lower())
+
+
+def find_thm_start(text: str):
+    """Result name from the head of a statement ("Theorem 3.1. It holds...")
+    -> "Theorem 3.1"; None when the head is not a named result
+    (ref: extract_graph.py:26-31)."""
+    m = RE_THM_START.match(text)
+    return m[0] if m else None
+
+
+def find_thm_proof(text: str):
+    """Explicit proof target: "Proof. [Proof of Theorem 5.2]" (bracketed,
+    instrumented-PDF style, ref: extract_graph.py:34-41) or the webtext
+    form "Proof of Theorem 5.2." -> "Theorem 5.2"; None when the proof is
+    anonymous."""
+    bracket = RE_PROOF_BRACKET.search(text)
+    if bracket is not None:
+        m = RE_RESULT_NAME.search(bracket[1])
+        return m[0] if m else None
+    m = RE_PROOF_OF.search(text)
+    return m[1] if m else None
+
+
+def _expand(keyword: str, phrase: str, is_multi: bool):
+    """Expand one matched reference phrase into individual result names."""
+    if keyword.endswith("."):
+        base = ABBREVIATIONS[keyword.lower()]
+        return [f"{base} {m[0]}" for m in RE_NUMS.findall(phrase)]
+    if is_multi:
+        return [f"{keyword} {m[0]}" for m in RE_NUMS.findall(phrase)]
+    return [phrase.lower()]
+
+
+def find_ref_results(thm: str | None, text: str):
+    """Mine references to other results from a result-span text.
+
+    Behavioural parity with ``find_ref_results``
+    (extract_graph.py:44-130):
+
+    * matches "Theorem 3.1", conjunction lists "Theorems 2 and 3" /
+      "Lemmas 2.1, 2.2 & 2.3", abbreviations "thm. 4.1" (expanded);
+    * a phrase equal to ``thm`` (the span's own name) is suppressed;
+    * duplicate phrases are visited once;
+    * numbers carrying an ``#in`` marker (intra-document goto links) are
+      intra-references;
+    * otherwise a ``<LINK:anchor>`` marker within +/-5 words decides:
+      anchor that itself names a result/section -> intra; any other anchor
+      -> extra-reference ``(tag, result_name)`` with ``tag`` = the anchor
+      stripped of non-word chars; no link nearby -> intra.
+
+    Returns ``(phrases, intrarefs, extrarefs)`` where extrarefs are
+    ``(tag, result_name)`` pairs.
+    """
+    own = (thm or "").lower()
+    seen: set[str] = set()
+    intraref: list[str] = []
+    extraref: list[tuple[str, str]] = []
+    phrases: list[str] = []
+
+    for m in RE_REFS.finditer(text):
+        phrase_raw = m.group(1)
+        keyword = m.group(2)
+        is_multi = bool(m.group(8))
+        phrase = phrase_raw.replace("#in", "")
+        phrases.append(phrase)
+        if phrase in seen or phrase.lower() == own:
+            continue
+        seen.add(phrase)
+
+        names = _expand(keyword, phrase, is_multi)
+
+        if "#in" in phrase_raw:
+            intraref.extend(names)
+            continue
+
+        # +/-5-word link window around the occurrence
+        start, end = m.start(1), m.end(1)
+        before = text[:start].split(" ")
+        before = [w for w in before if w][-5:]
+        after = text[end:].split(" ")
+        after = [w for w in after if w][:5]
+        refto = None
+        for dist in range(5):
+            if dist < len(before):
+                hit = RE_LINK_MARK.match(before[-1 - dist])
+                if hit is not None:
+                    refto = hit
+                    break
+            if dist < len(after):
+                hit = RE_LINK_MARK.match(after[dist])
+                if hit is not None:
+                    refto = hit
+                    break
+
+        if refto is not None:
+            tag = RE_NONWORD.sub("", refto[1])
+            if tag == RE_NONWORD.sub("", phrase) or RE_REFTO_IS_RESULT.search(tag):
+                intraref.extend(names)
+            else:
+                extraref.extend((tag, n) for n in names)
+        else:
+            intraref.extend(names)
+
+    return phrases, intraref, extraref

@@ -1,0 +1,157 @@
+"""Stage 6 — TRIPLES + end-to-end orchestration.
+
+``build_kg`` wires the six stages into one lazy DataFrame plan:
+
+    pages --repartition(xxhash64(url))--> extract -> label -> spans
+      -> mentions --broadcast dict (canonicalized via CC)--> triples
+
+Triple vocabulary (north star): statement_of, proved_in, cites,
+defined_in — mapped from the reference's graph tables
+(graph_results/graph_intra_extra, extract_graph.py:298-307) as frozen in
+FIXTURES.md §6. Output is distinct on (subj, pred, obj, url) with
+group = min provenance span.
+
+Everything before the final distinct is a narrow chain plus exactly two
+shuffles at corpus scale: the url-hash repartition (explicit, north rule)
+and the span groupBy (same key — Catalyst reuses the partitioning). The
+dictionary join is broadcast; the CC loop runs on the tiny alias-edge
+table only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .canon import canonicalize_dict
+from .extract import extract_tokens
+from .label import label_tokens, label_tokens_arrow
+from .link import link_extra_mentions, link_paper_citations
+from .mentions import assemble_spans, mine_mentions, paper_citations, resolve_span_names
+
+TRIPLE_COLS = ["subj", "pred", "obj", "url", "group"]
+
+
+def load_entity_dict(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    from ..corpus.generator import entity_dict_rows
+
+    rows = entity_dict_rows(n_docs, seed)
+    return spark.createDataFrame(
+        [(r["url"], r["tag"], r["pdf_to"], r["title"], r["norm_title"]) for r in rows],
+        schema="url string, tag string, pdf_to string, title string, norm_title string",
+    )
+
+
+def _entity(url_col, name_col):
+    return F.concat(url_col, F.lit("#"), name_col)
+
+
+def build_triples(
+    spans_named: DataFrame,
+    mentions: DataFrame,
+    tokens: DataFrame,
+    dico: DataFrame,
+    join_strategy: str = "broadcast",
+) -> DataFrame:
+    url, own = F.col("url"), F.col("own_name")
+    named = spans_named.filter(own.isNotNull())
+
+    statement_of = (
+        named.select(
+            _entity(url, own).alias("subj"),
+            F.lit("statement_of").alias("pred"),
+            url.alias("obj"),
+            url.alias("url"),
+            F.col("group"),
+        )
+    )
+    proved_in = named.filter(F.col("label") == "proof").select(
+        _entity(url, own).alias("subj"),
+        F.lit("proved_in").alias("pred"),
+        url.alias("obj"),
+        url.alias("url"),
+        F.col("group"),
+    )
+    defined_in = named.filter(F.col("label") == "definition").select(
+        _entity(url, own).alias("subj"),
+        F.lit("defined_in").alias("pred"),
+        url.alias("obj"),
+        url.alias("url"),
+        F.col("group"),
+    )
+
+    m_named = mentions.filter(F.col("own_name").isNotNull())
+    cites_intra = m_named.filter(F.col("kind") == "intra").select(
+        _entity(url, own).alias("subj"),
+        F.lit("cites").alias("pred"),
+        _entity(url, F.col("ref_name")).alias("obj"),
+        url.alias("url"),
+        F.col("group"),
+    )
+    cites_extra = link_extra_mentions(m_named, dico, strategy=join_strategy).select(
+        _entity(url, own).alias("subj"),
+        F.lit("cites").alias("pred"),
+        _entity(F.col("target"), F.col("ref_name")).alias("obj"),
+        url.alias("url"),
+        F.col("group"),
+    )
+    cites_paper = link_paper_citations(
+        paper_citations(tokens), dico, strategy=join_strategy
+    ).select(
+        url.alias("subj"),
+        F.lit("cites").alias("pred"),
+        F.col("target").alias("obj"),
+        url.alias("url"),
+        F.lit(-1).alias("group"),
+    )
+
+    all_triples = (
+        statement_of.unionByName(proved_in)
+        .unionByName(defined_in)
+        .unionByName(cites_intra)
+        .unionByName(cites_extra)
+        .unionByName(cites_paper)
+    )
+    return all_triples.groupBy("subj", "pred", "obj", "url").agg(
+        F.min("group").alias("group")
+    )
+
+
+def build_kg(
+    spark: SparkSession,
+    pages: DataFrame,
+    entity_dict: DataFrame,
+    n_partitions: int | None = None,
+    labeler: str = "window",
+    join_strategy: str = "broadcast",
+) -> DataFrame:
+    """pages + entity_dict -> triples DataFrame (lazy)."""
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+    # explicit url-hash repartition (north rule): spreads document skew
+    pages = pages.repartition(n_partitions, F.xxhash64("url"))
+
+    tokens = extract_tokens(pages, english_only=True)
+    labeled = label_tokens(tokens) if labeler == "window" else label_tokens_arrow(tokens)
+    spans = resolve_span_names(assemble_spans(labeled))
+    mentions = mine_mentions(spans)
+    dico = canonicalize_dict(entity_dict)
+    return build_triples(spans, mentions, tokens, dico, join_strategy=join_strategy)
+
+
+def lineage_rows(df: DataFrame, stage: str) -> DataFrame:
+    """Per-partition lineage/metrics rows (north rule): row counts and
+    distinct-url counts per physical partition for a stage."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct("url").alias("urls"),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("_pid").alias("partition_id"),
+            "rows",
+            "urls",
+        )
+    )
