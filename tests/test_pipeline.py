@@ -1,0 +1,72 @@
+"""End-to-end pipeline gates (SURVEY §5.2): byte-identical extraction,
+triple P/R vs the reference-semantics oracle, two-run determinism,
+window-vs-Arrow labeler agreement."""
+
+import pytest
+
+from theoremkb_spark.corpus.generator import build_corpus, entity_dict_rows
+from theoremkb_spark.corpus.oracle import oracle_triples
+from theoremkb_spark.pipeline.extract import extract_text, extract_tokens, load_pages
+from theoremkb_spark.pipeline.label import label_tokens, label_tokens_arrow
+from theoremkb_spark.pipeline.runner import build_kg, load_entity_dict
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return load_pages(spark, N_DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def entity_dict(spark):
+    return load_entity_dict(spark, N_DOCS).cache()
+
+
+def test_byte_identical_extraction(spark, pages):
+    """The per-url invariant from BASELINE.json input_hint."""
+    got = {r.url: r.text for r in extract_text(pages).collect()}
+    want = {r.url: r.text for r in pages.select("url", "text").collect()}
+    assert got == want  # bytewise equality, all urls
+
+
+def test_triple_parity(spark, pages, entity_dict):
+    """Triple P/R >= 0.95 gate — we hold it at exactly 1.0."""
+    got = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in build_kg(spark, pages, entity_dict).collect()
+    }
+    exp = oracle_triples(list(build_corpus(N_DOCS)), entity_dict_rows(N_DOCS))
+    fp, fn = got - exp, exp - got
+    assert not fp, f"false positives: {sorted(fp)[:5]}"
+    assert not fn, f"false negatives: {sorted(fn)[:5]}"
+    assert len(got) > 100  # sanity: non-trivial corpus
+
+
+def test_two_run_determinism(spark, pages, entity_dict):
+    t1 = build_kg(spark, pages, entity_dict)
+    t2 = build_kg(spark, pages, entity_dict)
+    assert t1.exceptAll(t2).isEmpty()
+    assert t2.exceptAll(t1).isEmpty()
+
+
+def test_window_and_arrow_labelers_agree(spark, pages):
+    tokens = extract_tokens(pages).cache()
+    a = label_tokens(tokens).select(
+        "url", "page", "block", "line", "word", "label", "group"
+    )
+    b = label_tokens_arrow(tokens).select(
+        "url", "page", "block", "line", "word", "label", "group"
+    )
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    tokens.unpersist()
+
+
+def test_non_english_filtered(spark, pages):
+    langs = {r.lang for r in pages.select("lang").distinct().collect()}
+    tokens = extract_tokens(pages, english_only=True)
+    token_urls = {r.url for r in tokens.select("url").distinct().collect()}
+    non_en = {r.url for r in pages.filter("lang <> 'en'").select("url").collect()}
+    assert not (token_urls & non_en)
+    if len(langs) > 1:
+        assert non_en  # corpus does contain non-en rows at this size

@@ -1,0 +1,109 @@
+"""Table-driven tests for the frozen text semantics (SURVEY §5.2.4).
+
+Edge cases mirror the reference mention-mining behaviour
+(extract_graph.py:26-130): conjunction lists, abbreviations,
+self-reference suppression, #in markers, link windows.
+"""
+
+from theoremkb_spark.functions.text import (
+    find_ref_results,
+    find_thm_proof,
+    find_thm_start,
+    get_pattern,
+    norm_title,
+    normalize_text,
+)
+
+
+def test_get_pattern():
+    assert get_pattern("Bonjour") == "bonjour"
+    assert get_pattern("Page 10/52") == "page @@@@"
+    assert get_pattern("Theorem") == "theorem"
+    assert get_pattern("Proof.") == "proof"
+    assert get_pattern("[EXT3]") == "ext@"
+
+
+def test_normalize_text():
+    assert normalize_text("effi- cient") == "efficient"
+    assert normalize_text("eﬃcient") == "efficient"  # ﬃ ligature NFKD
+    assert normalize_text("plain words") == "plain words"
+
+
+def test_norm_title():
+    assert norm_title("On The Abound Problem!") == "ontheaboundproblem"
+
+
+def test_find_thm_start():
+    assert find_thm_start("Theorem 3.1. It holds") == "Theorem 3.1"
+    assert find_thm_start("Open Problem 4 states") == "Open Problem 4"
+    assert find_thm_start("Lemma a.2.4 shows") == "Lemma a.2.4"
+    assert find_thm_start("Remark. unnumbered") is None
+    assert find_thm_start("we discuss Theorem 3") is None  # head-anchored
+
+
+def test_find_thm_proof():
+    assert find_thm_proof("Proof. [Proof of Theorem 5.2]") == "Theorem 5.2"
+    assert find_thm_proof("Proof of Theorem 5.2. We begin") == "Theorem 5.2"
+    assert find_thm_proof("Proof. We begin directly") is None
+
+
+def test_refs_simple():
+    _, intra, extra = find_ref_results("Theorem 9.9", "by Theorem 3.1 we conclude")
+    assert intra == ["theorem 3.1"]
+    assert extra == []
+
+
+def test_refs_self_suppressed():
+    _, intra, extra = find_ref_results(
+        "Theorem 3.1", "Theorem 3.1 follows from Lemma 2.2"
+    )
+    assert intra == ["lemma 2.2"]
+
+
+def test_refs_conjunction():
+    _, intra, _ = find_ref_results(None, "using Theorems 1.1 and 1.2 we see")
+    assert sorted(intra) == ["theorem 1.1", "theorem 1.2"]
+    _, intra2, _ = find_ref_results(None, "Lemmas 2.1, 2.2 & 2.3 imply")
+    assert sorted(intra2) == ["lemma 2.1", "lemma 2.2", "lemma 2.3"]
+
+
+def test_refs_abbreviation():
+    _, intra, _ = find_ref_results(None, "see thm. 4.1 for details")
+    assert intra == ["theorem 4.1"]
+    _, intra2, _ = find_ref_results(None, "by prop. 2.3 and lem. 1.1")
+    assert "proposition 2.3" in intra2 and "lemma 1.1" in intra2
+
+
+def test_refs_in_marker_is_intra():
+    _, intra, extra = find_ref_results(None, "by Theorem 1.2#in we conclude")
+    assert intra == ["theorem 1.2"]
+    assert extra == []
+
+
+def test_refs_link_window_extra():
+    _, intra, extra = find_ref_results(
+        None, "Theorem 2.1 of <LINK:[EXT7]> settles this"
+    )
+    assert intra == []
+    assert extra == [("EXT7", "theorem 2.1")]
+
+
+def test_refs_link_window_too_far():
+    # anchor beyond the +/-5-word window -> intra fallback
+    _, intra, extra = find_ref_results(
+        None, "Theorem 2.1 a b c d e f <LINK:[EXT7]> far away"
+    )
+    assert intra == ["theorem 2.1"]
+    assert extra == []
+
+
+def test_refs_link_to_result_anchor_is_intra():
+    # anchor that itself names a result -> intra, not extra
+    _, intra, extra = find_ref_results(None, "Theorem 2.1 <LINK:theorem2.1> here")
+    assert intra == ["theorem 2.1"]
+    assert extra == []
+
+
+def test_refs_duplicate_visited_once():
+    _, intra, _ = find_ref_results(None, "Theorem 3.1 holds; also Theorem 3.1 again")
+    assert intra == ["theorem 3.1"]

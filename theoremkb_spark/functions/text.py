@@ -68,7 +68,7 @@ RE_PROOF_OF = re.compile(rf"Proof of ((\w+) {_NUM})", re.IGNORECASE)
 RE_RESULT_NAME = re.compile(rf"((\w+) {_NUM})", re.IGNORECASE)
 
 RE_REFS = re.compile(
-    rf"(({_KEYWORD_ALT})(s)? (({_NUM})(#in)?(\s?(and|,|&) {_NUM}(#in)?)*))",
+    rf"((?P<kw>{_KEYWORD_ALT})(s)? (({_NUM})(#in)?(?P<rep>\s?(and|,|&) {_NUM}(#in)?)*))",
     re.IGNORECASE,
 )
 RE_NUMS = re.compile(rf"({_NUM})", re.IGNORECASE)
@@ -122,12 +122,18 @@ def find_thm_proof(text: str):
 
 
 def _expand(keyword: str, phrase: str, is_multi: bool):
-    """Expand one matched reference phrase into individual result names."""
-    if keyword.endswith("."):
-        base = ABBREVIATIONS[keyword.lower()]
-        return [f"{base} {m[0]}" for m in RE_NUMS.findall(phrase)]
-    if is_multi:
-        return [f"{keyword} {m[0]}" for m in RE_NUMS.findall(phrase)]
+    """Expand one matched reference phrase into individual result names.
+
+    Names are lowercased here (the reference lowercases single refs but
+    not expanded multi-refs — extract_graph.py:76 vs :78; we freeze
+    lowercase everywhere since entity ids are case-normalized anyway).
+    """
+    keyword = keyword.lower()
+    if keyword.endswith("."):  # abbreviation: expand + renumber
+        base = ABBREVIATIONS[keyword]
+        return [f"{base} {m[0].lower()}" for m in RE_NUMS.findall(phrase)]
+    if is_multi:  # conjunction list: one name per number
+        return [f"{keyword} {m[0].lower()}" for m in RE_NUMS.findall(phrase)]
     return [phrase.lower()]
 
 
@@ -159,8 +165,8 @@ def find_ref_results(thm: str | None, text: str):
 
     for m in RE_REFS.finditer(text):
         phrase_raw = m.group(1)
-        keyword = m.group(2)
-        is_multi = bool(m.group(8))
+        keyword = m.group("kw")
+        is_multi = bool(m.group("rep"))
         phrase = phrase_raw.replace("#in", "")
         phrases.append(phrase)
         if phrase in seen or phrase.lower() == own:
