@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the operator inventory of SURVEY.md §2 re-expressed
+over the driver's testdata tables, each with a DuckDB oracle in
+``oracle_sql()``; the KG-pipeline queries (non-SQL-expressible: Arrow
+UDF extraction, sequence labeling, connected components) are registered
+without oracles and are gated instead by the pytest parity suite
+(tests/test_pipeline.py) against the reference-semantics oracle.
 """
 
 from __future__ import annotations
@@ -16,23 +17,51 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from theoremkb_spark.queries import q_agg_pricing_summary
+
+    return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full six-stage KG pipeline on the deterministic synthetic corpus
+    (the corpus is seeded and independent of sf_dir — no external data)."""
+    from theoremkb_spark.pipeline.extract import load_pages
+    from theoremkb_spark.pipeline.runner import build_kg, load_entity_dict
+
+    n_docs = 60
+    pages = load_pages(spark, n_docs)
+    return build_kg(spark, pages, load_entity_dict(spark, n_docs))
+
+
+def _kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-2: extraction + window-function sequence labeling."""
+    from pyspark.sql import functions as F
+
+    from theoremkb_spark.pipeline.extract import extract_tokens, load_pages
+    from theoremkb_spark.pipeline.label import label_tokens
+
+    pages = load_pages(spark, 60)
+    labeled = label_tokens(extract_tokens(pages))
+    return (
+        labeled.filter(F.col("label") != "O")
+        .groupBy("url", "group", "label")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .orderBy("url", "group")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from theoremkb_spark.queries import QUERIES_CORE
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {
+        name: fn for name, (fn, _sql) in QUERIES_CORE.items()
+    }
+    out["kg_triples"] = _kg_triples
+    out["kg_spans"] = _kg_spans
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from theoremkb_spark.queries import QUERIES_CORE
+
+    return {name: sql for name, (_fn, sql) in QUERIES_CORE.items()}

@@ -1,0 +1,72 @@
+"""Resume-from-checkpoint: kill-and-rerun must neither lose nor duplicate
+triples (SURVEY §5.2.6; north rule resumability)."""
+
+import os
+
+from theoremkb_spark.corpus.generator import build_corpus, entity_dict_rows
+from theoremkb_spark.corpus.oracle import oracle_triples
+from theoremkb_spark.io.catalog import CheckpointedTripleStore, run_incremental
+from theoremkb_spark.pipeline.extract import load_pages
+from theoremkb_spark.pipeline.runner import load_entity_dict
+
+N = 24
+
+
+def _expected():
+    return oracle_triples(list(build_corpus(N)), entity_dict_rows(N))
+
+
+def test_incremental_batches_equal_full_run(spark, tmp_path):
+    pages = load_pages(spark, N)
+    ents = load_entity_dict(spark, N)
+    store = CheckpointedTripleStore(str(tmp_path / "kg"))
+
+    b1 = run_incremental(spark, pages, ents, store, limit=10)
+    b2 = run_incremental(spark, pages, ents, store, limit=None)
+    b3 = run_incremental(spark, pages, ents, store)  # nothing left
+    assert b1 == 0 and b2 == 1 and b3 == -1
+
+    got = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark).collect()
+    }
+    assert got == _expected()
+    # no duplicates in the store
+    df = store.read_triples(spark)
+    assert df.count() == df.dropDuplicates(["subj", "pred", "obj", "url"]).count()
+
+
+def test_killed_batch_leaves_no_visible_state(spark, tmp_path):
+    pages = load_pages(spark, N)
+    ents = load_entity_dict(spark, N)
+    store = CheckpointedTripleStore(str(tmp_path / "kg2"))
+
+    run_incremental(spark, pages, ents, store, limit=8)
+
+    # simulate a kill AFTER data write but BEFORE the manifest commit:
+    # write a debris directory that was never manifested
+    debris = os.path.join(store.out_dir, "triples/batch=1")
+    store.read_triples(spark).limit(3).write.mode("overwrite").parquet(debris)
+    n_visible = store.read_triples(spark).count()
+
+    # rerun to completion — debris must be ignored/overwritten, not doubled
+    run_incremental(spark, pages, ents, store)
+    got = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark).collect()
+    }
+    assert got == _expected()
+    df = store.read_triples(spark)
+    assert df.count() == df.dropDuplicates(["subj", "pred", "obj", "url"]).count()
+    assert df.count() > n_visible
+
+
+def test_lineage_reconciles(spark, tmp_path):
+    pages = load_pages(spark, N)
+    ents = load_entity_dict(spark, N)
+    store = CheckpointedTripleStore(str(tmp_path / "kg3"))
+    run_incremental(spark, pages, ents, store)
+    lineage_total = (
+        store.read_lineage(spark).groupBy().sum("rows").first()[0]
+    )
+    assert lineage_total == store.read_triples(spark).count()
