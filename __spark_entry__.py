@@ -52,9 +52,10 @@ def _kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from theoremkb_spark.queries import QUERIES_CORE
+    from theoremkb_spark.queries_docs import QUERIES_DOCS
 
     out: dict[str, Callable] = {
-        name: fn for name, (fn, _sql) in QUERIES_CORE.items()
+        name: fn for name, (fn, _sql) in {**QUERIES_CORE, **QUERIES_DOCS}.items()
     }
     out["kg_triples"] = _kg_triples
     out["kg_spans"] = _kg_spans
@@ -63,5 +64,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from theoremkb_spark.queries import QUERIES_CORE
+    from theoremkb_spark.queries_docs import QUERIES_DOCS
 
-    return {name: sql for name, (_fn, sql) in QUERIES_CORE.items()}
+    return {
+        name: sql
+        for name, (_fn, sql) in {**QUERIES_CORE, **QUERIES_DOCS}.items()
+        if sql is not None
+    }

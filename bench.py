@@ -1,0 +1,98 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Each query is forced end-to-end with the noop writer (computes every
+output column — a bare count() would let Catalyst prune the projections
+we mean to measure). The KG pipeline is benchmarked on the deterministic
+synthetic corpus (fixed 400 docs incl. skew docs) and reported both in
+seconds and as triples/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "400"))
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_broadcast_revenue",
+    "join_range_containment",
+    "win_gaps_islands",
+    "win_deltas",
+    "sort_argmax",
+    "text_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+def _force(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    from theoremkb_spark.queries import QUERIES_CORE
+    from theoremkb_spark.queries_docs import QUERIES_DOCS
+    from theoremkb_spark.session import get_spark
+
+    registry = {**QUERIES_CORE, **QUERIES_DOCS}
+    spark = get_spark("bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name][0]
+        df = fn(spark, SF_DIR)
+        df.count()  # warm plan/scan caches once; timing below is steady-state
+        t0 = time.time()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG pipeline: corpus built off the clock, pipeline+write on it
+    from theoremkb_spark.pipeline.extract import load_pages
+    from theoremkb_spark.pipeline.runner import build_kg, load_entity_dict
+
+    pages = load_pages(spark, KG_DOCS)
+    ents = load_entity_dict(spark, KG_DOCS)
+    pages.count()
+    t0 = time.time()
+    triples = build_kg(spark, pages, ents)
+    _force(triples)
+    kg_sec = time.time() - t0
+    n_triples = build_kg(spark, pages, ents).count()
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "kg_docs": KG_DOCS,
+                "kg_triples": n_triples,
+                "kg_triples_per_sec": round(n_triples / kg_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

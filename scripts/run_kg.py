@@ -22,7 +22,14 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default="/tmp/kg_out")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument(
+        "--pages-parquet",
+        default=None,
+        help="read the pages corpus from this parquet instead of synthesizing"
+        " in-process (use scripts/make_corpus.py to materialize it)",
+    )
     ap.add_argument("--labeler", default="window", choices=["window", "arrow"])
+    ap.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--join-strategy", default="broadcast", choices=["broadcast", "salted"])
     args = ap.parse_args()
 
@@ -37,8 +44,22 @@ def main() -> None:
     spark = get_spark("run_kg", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    pages = load_pages(spark, args.docs, args.seed)
+    if args.pages_parquet:
+        pages = spark.read.parquet(args.pages_parquet)
+    else:
+        pages = load_pages(spark, args.docs, args.seed)
     entity_dict = load_entity_dict(spark, args.docs, args.seed)
+
+    if args.warmup:
+        # steady-state measurement: one tiny end-to-end pass first so JIT/
+        # codegen/python-worker spin-up is not billed to the timed run
+        build_kg(
+            spark,
+            pages.limit(8),
+            entity_dict,
+            labeler=args.labeler,
+            join_strategy=args.join_strategy,
+        ).write.mode("overwrite").format("noop").save()
 
     t0 = time.time()
     triples = build_kg(

@@ -23,6 +23,22 @@ def test_connected_components_chain_transitive(spark):
     assert set(comp.values()) == {"n0"}
 
 
+def test_connected_components_distributed_path_matches_driver_path(spark):
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(5)]
+        + [("a", "b"), ("c", "b"), ("z", "z9")],
+        "src string, dst string",
+    )
+    fast = {
+        (r.id, r.component) for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r.id, r.component)
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert fast == dist
+
+
 def test_salted_join_matches_plain_join(spark):
     fact = spark.range(0, 1000).select(
         (F.col("id") % 7).alias("k"), F.col("id").alias("v")

@@ -1,0 +1,131 @@
+"""Training-data-pipeline operators: dedup (exact/Jaccard/MinHash-LSH/
+SimHash), ANN, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from theoremkb_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from theoremkb_spark.operators.multimodal import (
+    _decode_image,
+    byte_histogram,
+    extract_features,
+)
+from theoremkb_spark.operators.similarity import cosine_topk
+from theoremkb_spark.operators.textquality import lang_id, token_count
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into "
+    "the deep green forest while a cold wind blows over of the hills and "
+    "every small creature hides in its warm burrow until the storm is gone"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("quick", "swift")),  # planted near-dup of 0
+        (2, BASE),  # planted exact dup of 0
+        (3, "completely different words about spark shuffles and parquet files"),
+        (4, "another unrelated text mentioning joins aggregations and windows"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_duplicates(docs, "doc_id", "text").collect()
+    groups = {r.keeper: r.n_dups for r in out}
+    assert groups[0] == 2  # docs 0 and 2 collapse
+    assert len(out) == 4
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.8
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (3, 4) not in pairs
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # verification removes false positives; banding must keep the planted dups
+    assert lsh <= exact
+    assert (0, 1) in lsh and (0, 2) in lsh
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dups(docs, "doc_id", "text", max_hamming=10).collect()
+    }
+    assert pairs[(0, 2)] == 0  # identical text -> identical signature
+    assert (0, 1) in pairs  # one-word change -> few bits flip
+    assert (3, 4) not in pairs
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = cosine_topk(emb, "vec_id", "embedding", [0], k=3).collect()
+    assert [r.neighbor_id for r in top] == [1, 2, 3]
+    assert top[0].score > 0.99 and top[2].score == -1.0
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("two  words",), (" padded  both \t sides ",)],
+        "text string",
+    )
+    got = [r.n for r in df.select(token_count(F.col("text")).alias("n")).collect()]
+    assert got == [0, 0, 1, 2, 3]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of a house",),
+            ("el gato la casa de que bueno",),
+            ("der hund die katze und das haus",),
+            ("xyzzy plugh",),
+        ],
+        "text string",
+    )
+    got = [r.l for r in df.select(lang_id(F.col("text")).alias("l")).collect()]
+    assert got == ["en", "es", "de", "und"]
+
+
+def test_multimodal_features(spark, docs):
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = {r.id: r for r in extract_features(payloads, "doc_id", "payload").collect()}
+    assert feats[0].n_bytes == len(BASE.encode())
+    assert abs(sum(feats[0].features) - 1.0) < 1e-9
+    assert feats[0].features == feats[2].features  # deterministic
+    assert feats[0].features != feats[3].features
+
+
+def test_multimodal_decode_stub_gated():
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"\x89PNG fake")
+    assert byte_histogram(b"") == [0.0] * 16

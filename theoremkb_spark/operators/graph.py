@@ -18,21 +18,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_cc(edge_rows) -> list[tuple[str, str]]:
+    """Union-find on the driver for small graphs (same semantics as the
+    distributed loop; avoids ~6 tiny Spark jobs of pure scheduling
+    overhead when the edge set is dictionary-sized)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return sorted((v, find(v)) for v in list(parent))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """edges(src, dst) -> (id, component); component = min id in cluster.
 
     Deterministic: component ids are data values (lexicographic min),
-    never generated ids.
+    never generated ids. Graphs under `driver_threshold` edges are
+    solved with a driver-side union-find (identical result, none of the
+    per-iteration job overhead); larger graphs run the distributed
+    min-label-propagation loop.
     """
     sym = edges.selectExpr(f"{src} as id", f"{dst} as nbr").unionByName(
         edges.selectExpr(f"{dst} as id", f"{src} as nbr")
     )
-    sym = sym.filter(F.col("id") != F.col("nbr")).distinct().localCheckpoint()
+    sym = sym.filter(F.col("id") != F.col("nbr")).distinct()
+
+    if driver_threshold > 0:
+        sample = sym.limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                _driver_cc([(r.id, r.nbr) for r in sample]) or [("", "")],
+                "id string, component string",
+            ).filter(F.col("id") != "")
+
+    sym = sym.localCheckpoint()
 
     comp = (
         sym.select("id")

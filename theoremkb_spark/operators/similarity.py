@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k: JVM-only dot products via
+  zip_with/aggregate (no UDF, no Python). The baseline. Cost
+  O(|queries| x |corpus| x dim): fine when the query set is small or the
+  corpus is pre-filtered.
+* ``bucketed_ann_topk`` — the scale path: deterministic sign-bucket
+  coarse quantization (LSH family: hyperplanes aligned to the leading
+  dimensions), candidates only within the query's bucket. Turns the
+  cross join into an equi-join on bucket — shuffle-friendly, prunes
+  ~2^bits of the corpus per query.
+
+All arithmetic in double with left-to-right aggregation order so a
+DuckDB oracle (list_dot_product on DOUBLE[]) reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_cosine(pairs: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> DataFrame:
+    a = F.col(a_col).cast("array<double>")
+    b = F.col(b_col).cast("array<double>")
+    return pairs.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """-> (query_id, rank, neighbor_id, score): exact top-k neighbors of
+    each query vector (self excluded), deterministic tie-break by id."""
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .transform(lambda df: with_cosine(df, "qv", "cv"))
+        .withColumn("score", F.round(F.col("cosine"), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.col("score").cast("double").alias("score"))
+    )
+
+
+def sign_bucket(vec_col, bits: int = 6):
+    """Deterministic coarse bucket: sign bits of the first `bits` dims."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    expr = F.lit(0)
+    for i in range(bits):
+        expr = expr + F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+    return expr
+
+
+def bucketed_ann_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 3,
+    bits: int = 6,
+    round_to: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket (equi-join on bucket instead of a cross join)."""
+    with_b = emb.withColumn("bucket", sign_bucket(vec_col, bits))
+    q = with_b.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    c = with_b.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .transform(lambda df: with_cosine(df, "qv", "cv"))
+        .withColumn("score", F.round(F.col("cosine"), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.col("score").cast("double").alias("score"))
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-bucket blocked."""
+    with_b = emb.withColumn("bucket", sign_bucket(vec_col, bits))
+    a = with_b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = with_b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .transform(lambda df: with_cosine(df, "va", "vb"))
+        .withColumn("cos", F.round(F.col("cosine"), 6).cast("double"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -193,7 +193,7 @@ def load_pages(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=PAGES_SCHEMA)
 
 
-def write_pages_parquet(path: str, n_docs: int, seed: int = 42, chunk: int = 500) -> None:
+def write_pages_parquet(path: str, n_docs: int, seed: int = 42, chunk: int = 200) -> None:
     """Write the synthetic corpus to parquet without Spark (pyarrow),
     chunked so large corpora never sit in memory at once."""
     import pyarrow as pa

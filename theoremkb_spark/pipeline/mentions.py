@@ -165,36 +165,41 @@ def mine_mentions(spans_named: DataFrame) -> DataFrame:
     with_refs = spans_named.withColumn(
         "_refs", refs_udf(F.col("own_name"), F.col("text"))
     )
-    intra = (
-        with_refs.select(
-            "url",
-            "group",
-            "label",
-            "own_name",
-            F.explode(F.col("_refs.intras")).alias("ref_name"),
-        )
-        .withColumn("kind", F.lit("intra"))
-        .withColumn("ref_tag", F.lit(None).cast("string"))
+    # one UDF evaluation + ONE explode: intra and extra mentions are
+    # merged into a single array of (kind, tag, name) structs first
+    merged = F.concat(
+        F.transform(
+            F.col("_refs.intras"),
+            lambda x: F.struct(
+                F.lit("intra").alias("kind"),
+                F.lit(None).cast("string").alias("tag"),
+                x.alias("name"),
+            ),
+        ),
+        F.transform(
+            F.col("_refs.extras"),
+            lambda e: F.struct(
+                F.lit("extra").alias("kind"),
+                e["tag"].alias("tag"),
+                e["name"].alias("name"),
+            ),
+        ),
     )
-    extra = with_refs.select(
+    return with_refs.select(
         "url",
         "group",
         "label",
         "own_name",
-        F.explode(F.col("_refs.extras")).alias("_e"),
+        F.explode(merged).alias("_m"),
     ).select(
         "url",
         "group",
         "label",
         "own_name",
-        F.lower(F.col("_e.name")).alias("ref_name"),
-        F.lit("extra").alias("kind"),
-        F.col("_e.tag").alias("ref_tag"),
+        F.lower(F.col("_m.name")).alias("ref_name"),
+        F.col("_m.kind").alias("kind"),
+        F.col("_m.tag").alias("ref_tag"),
     )
-    intra = intra.select(
-        "url", "group", "label", "own_name", F.lower("ref_name").alias("ref_name"), "kind", "ref_tag"
-    )
-    return intra.unionByName(extra)
 
 
 def paper_citations(tokens: DataFrame) -> DataFrame:

@@ -130,11 +130,17 @@ def build_kg(
     # explicit url-hash repartition (north rule): spreads document skew
     pages = pages.repartition(n_partitions, F.xxhash64("url"))
 
-    tokens = extract_tokens(pages, english_only=True)
+    # tokens feed two consumers (span pipeline + paper citations) and
+    # spans feed four triple branches — cache both so the extract/label
+    # chain runs once, not once per branch. On a real cluster these are
+    # the materialized intermediate Iceberg tables (SURVEY §4).
+    tokens = extract_tokens(pages, english_only=True).cache()
     labeled = label_tokens(tokens) if labeler == "window" else label_tokens_arrow(tokens)
-    spans = resolve_span_names(assemble_spans(labeled))
+    spans = resolve_span_names(assemble_spans(labeled)).cache()
     mentions = mine_mentions(spans)
-    dico = canonicalize_dict(entity_dict)
+    # the dictionary is broadcast-sized and consumed by two joins — cache
+    # it so the CC canonicalization runs once
+    dico = canonicalize_dict(entity_dict).cache()
     return build_triples(spans, mentions, tokens, dico, join_strategy=join_strategy)
 
 

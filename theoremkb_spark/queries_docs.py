@@ -1,0 +1,329 @@
+"""Training-data-pipeline queries over documents/embeddings, with DuckDB
+oracles where the formula is SQL-expressible (dedup, text analysis,
+brute-force + bucketed ANN). MinHash-LSH and SimHash use engine-native
+hashing (xxhash64 / md5-bit-votes) with no DuckDB twin — registered as
+rows-only checks, exact-verified in the pytest suite instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from .operators.multimodal import extract_features
+from .operators.similarity import bucketed_ann_topk, cosine_topk, embedding_near_dup_pairs
+from .operators.textquality import (
+    fingerprint,
+    lang_id,
+    punct_count,
+    quality_score,
+    stopword_hits,
+    token_count,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------- text analysis
+
+
+def q_text_stats(spark, sf):
+    """Token counting + punctuation + stopword hits + fingerprint."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        punct_count(F.col("text")).cast("long").alias("n_punct"),
+        stopword_hits(F.col("text")).alias("stop_hits"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+_OCC = "(length(' ' || {s} || ' ') - length(replace(' ' || {s} || ' ', ' {w} ', ''))) // length(' {w} ')"
+
+
+def _occ_sql(word: str, s: str = "trim(regexp_replace(text, '\\s+', ' ', 'g'))") -> str:
+    return _OCC.format(s=s, w=word)
+
+
+_STOP_EN = ["the", "a", "and", "of", "to", "in", "is"]
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+            ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS n_tokens,
+       length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+       {' + '.join(_occ_sql(w) for w in _STOP_EN)} AS stop_hits,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_langid(spark, sf):
+    """n-gram-marker language ID vs the labeled lang column."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _score_sql(lang_words: list[str]) -> str:
+    return " + ".join(_occ_sql(w) for w in lang_words)
+
+
+_MARKERS = {
+    "en": ["the", "and", "a", "of"],
+    "es": ["el", "la", "de", "que"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+}
+
+SQL_TEXT_LANGID = f"""
+WITH scored AS (
+  SELECT lang,
+         {_score_sql(_MARKERS["en"])} AS s_en,
+         {_score_sql(_MARKERS["es"])} AS s_es,
+         {_score_sql(_MARKERS["de"])} AS s_de,
+         {_score_sql(_MARKERS["fr"])} AS s_fr
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+              WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+              ELSE 'fr' END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, count(*) AS n FROM pred
+GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy(
+        "doc_id"
+    )
+
+
+_WORDS_SQL = (
+    "CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0 "
+    "ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END"
+)
+
+SQL_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST({_WORDS_SQL} AS DECIMAL(18,6)) AS words,
+         CAST(greatest(length(text), 1) AS DECIMAL(18,6)) AS chars,
+         CAST({' + '.join(_occ_sql(w) for w in _STOP_EN)} AS DECIMAL(18,6)) AS stop,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DECIMAL(18,6)) AS punct
+  FROM documents
+)
+SELECT doc_id,
+       round(
+         least(round(words / CAST(200 AS DECIMAL(18,6)), 6), CAST(1 AS DECIMAL(18,6))) * CAST(0.4 AS DECIMAL(18,6))
+         + least(round(stop * 10 / greatest(words, CAST(1 AS DECIMAL(18,6))), 6), CAST(1 AS DECIMAL(18,6))) * CAST(0.4 AS DECIMAL(18,6))
+         + (CAST(1 AS DECIMAL(18,6)) - round(punct / chars, 6)) * CAST(0.2 AS DECIMAL(18,6)),
+       6)::DOUBLE AS quality
+FROM base ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return exact_duplicates(d, "doc_id", "text").orderBy("fp")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY fp
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.12).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_DEDUP_NGRAM = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)
+  WHERE length(array_to_string(words[i:i+2], ' ')) > 0
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(common AS DECIMAL(18,6)) / CAST(sa.sz + sb.sz - common AS DECIMAL(18,6)), 6)::DOUBLE AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(common AS DECIMAL(18,6)) / CAST(sa.sz + sb.sz - common AS DECIMAL(18,6)), 6)::DOUBLE >= 0.12
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidates, exact-verified (rows-only check:
+    xxhash64 has no DuckDB twin; recall vs exact Jaccard is pytest-gated)."""
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.12
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs (rows-only; md5-bit-vote UDF)."""
+    d = _t(spark, sf, "documents")
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ------------------------------------------------------------ similarity
+
+
+_QUERY_IDS = list(range(10))
+
+
+def q_ann_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return cosine_topk(e, "vec_id", "embedding", _QUERY_IDS, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id IN ({",".join(map(str, _QUERY_IDS))})
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS score
+  FROM q, c WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score::DOUBLE AS score FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_ann_bucketed(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return bucketed_ann_topk(e, "vec_id", "embedding", _QUERY_IDS, k=3, bits=6).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _bucket_sql(bits: int = 6) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+
+
+SQL_ANN_BUCKETED = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_bucket_sql(6)} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM b
+  WHERE vec_id IN ({",".join(map(str, _QUERY_IDS))})
+), scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(qv, c.v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))), 4) AS score
+  FROM q JOIN b c USING (bucket) WHERE query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score::DOUBLE AS score FROM ranked
+WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+def q_emb_near_dups(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.3, bits=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_EMB_NEAR_DUPS = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {" + ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(4))} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6)::DOUBLE AS cos
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_dot_product(a.v, c.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6)::DOUBLE >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def q_multimodal_features(spark, sf):
+    """Binary-payload feature extraction plumbing (rows-only): documents
+    text re-encoded as an opaque binary payload, Arrow-batched byte-
+    histogram featurizer."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = extract_features(d, "doc_id", "payload")
+    return feats.select(
+        "id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+    ).orderBy("id")
+
+
+QUERIES_DOCS = {
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+    "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
+    "emb_near_dups": (q_emb_near_dups, SQL_EMB_NEAR_DUPS),
+    "multimodal_features": (q_multimodal_features, None),
+}

@@ -34,6 +34,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep giant documents from blowing a single Arrow batch
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # split fat html-bearing parquet files across tasks (default 128 MB
+        # would hand a whole small corpus to one scan task)
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
