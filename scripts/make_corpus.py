@@ -20,4 +20,17 @@ if __name__ == "__main__":
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
     write_pages_parquet(args.out, args.docs, args.seed)
-    print(f"wrote {args.docs} docs to {args.out}")
+
+    # materialize the citation dictionary next to the pages so bench runs
+    # never regenerate it driver-side (that cost is serial and scales
+    # with --docs)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from theoremkb_spark.corpus.generator import entity_dict_rows
+
+    pq.write_table(
+        pa.Table.from_pylist(list(entity_dict_rows(args.docs, args.seed))),
+        args.out + ".dict.parquet",
+    )
+    print(f"wrote {args.docs} docs to {args.out} (+ .dict.parquet)")

@@ -61,7 +61,7 @@ def main() -> None:
     mark("canon_cc", t0)
 
     t0 = time.time()
-    triples = build_triples(spans, mentions, tokens, dico)
+    triples = build_triples(spans, mentions, __import__("theoremkb_spark.pipeline.mentions", fromlist=["paper_citations"]).paper_citations(tokens), dico)
     triples.write.mode("overwrite").format("noop").save()
     mark("triples", t0)
 

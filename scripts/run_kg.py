@@ -28,17 +28,15 @@ def main() -> None:
         help="read the pages corpus from this parquet instead of synthesizing"
         " in-process (use scripts/make_corpus.py to materialize it)",
     )
-    ap.add_argument("--labeler", default="window", choices=["window", "arrow"])
+    ap.add_argument("--labeler", default="fused", choices=["fused", "window", "arrow"])
     ap.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--join-strategy", default="broadcast", choices=["broadcast", "salted"])
     args = ap.parse_args()
 
+    import os
+
     from theoremkb_spark.pipeline.extract import load_pages
-    from theoremkb_spark.pipeline.runner import (
-        build_kg,
-        lineage_rows,
-        load_entity_dict,
-    )
+    from theoremkb_spark.pipeline.runner import build_kg, lineage_rows, load_dico
     from theoremkb_spark.session import get_spark
 
     spark = get_spark("run_kg", cpus=args.cpus)
@@ -48,32 +46,51 @@ def main() -> None:
         pages = spark.read.parquet(args.pages_parquet)
     else:
         pages = load_pages(spark, args.docs, args.seed)
-    entity_dict = load_entity_dict(spark, args.docs, args.seed)
+
+    # dictionary rows: prefer the materialized sidecar (fast pyarrow
+    # read); regenerating them is serial driver python that grows with
+    # --docs
+    dict_path = (args.pages_parquet or "") + ".dict.parquet"
+    if args.pages_parquet and os.path.exists(dict_path):
+        import pyarrow.parquet as pq
+
+        dict_rows = pq.read_table(dict_path).to_pylist()
+    else:
+        from theoremkb_spark.corpus.generator import entity_dict_rows
+
+        dict_rows = list(entity_dict_rows(args.docs, args.seed))
+    dico = load_dico(spark, dict_rows).cache()
 
     if args.warmup:
-        # steady-state measurement: one tiny end-to-end pass first so JIT/
-        # codegen/python-worker spin-up is not billed to the timed run
+        # steady-state measurement: spin up and warm ALL python workers
+        # (pandas/pyarrow import is ~1.5 s per worker — a real cluster's
+        # long-lived executors pay it once, so the timed run must not),
+        # then one tiny end-to-end pass for JIT/codegen.
+        from theoremkb_spark.session import warm_python_workers
+
+        warm_python_workers(spark, args.cpus)
         build_kg(
             spark,
             pages.limit(8),
-            entity_dict,
             labeler=args.labeler,
             join_strategy=args.join_strategy,
+            dico=dico,
         ).write.mode("overwrite").format("noop").save()
 
     t0 = time.time()
     triples = build_kg(
         spark,
         pages,
-        entity_dict,
         labeler=args.labeler,
         join_strategy=args.join_strategy,
-    )
+        dico=dico,
+    ).persist()  # consumed twice: triple sink + lineage rollup
     triples.write.mode("overwrite").parquet(f"{args.out}/triples")
     lineage_rows(triples, "triples").write.mode("overwrite").parquet(
         f"{args.out}/lineage"
     )
     wall = time.time() - t0
+    triples.unpersist()
 
     n = spark.read.parquet(f"{args.out}/triples").count()
     print(

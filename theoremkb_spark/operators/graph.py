@@ -54,19 +54,25 @@ def connected_components(
     per-iteration job overhead); larger graphs run the distributed
     min-label-propagation loop.
     """
-    sym = edges.selectExpr(f"{src} as id", f"{dst} as nbr").unionByName(
-        edges.selectExpr(f"{dst} as id", f"{src} as nbr")
+    raw = edges.selectExpr(f"{src} as id", f"{dst} as nbr").filter(
+        F.col("id") != F.col("nbr")
     )
-    sym = sym.filter(F.col("id") != F.col("nbr")).distinct()
 
     if driver_threshold > 0:
-        sample = sym.limit(driver_threshold + 1).collect()
+        # union-find dedups and symmetrizes for free — collect the raw
+        # edge list without paying a distinct shuffle first
+        sample = raw.limit(driver_threshold + 1).collect()
         if len(sample) <= driver_threshold:
             spark = edges.sparkSession
             return spark.createDataFrame(
                 _driver_cc([(r.id, r.nbr) for r in sample]) or [("", "")],
                 "id string, component string",
             ).filter(F.col("id") != "")
+
+    sym = raw.unionByName(
+        edges.selectExpr(f"{dst} as id", f"{src} as nbr")
+    )
+    sym = sym.filter(F.col("id") != F.col("nbr")).distinct()
 
     sym = sym.localCheckpoint()
 

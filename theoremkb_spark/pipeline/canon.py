@@ -41,6 +41,32 @@ def canonical_mapping(
     return comp.select(F.col("id").alias("pdf_to"), F.col("component").alias("canonical"))
 
 
+def canonicalize_rows(rows) -> list[tuple[str, str, str]]:
+    """Driver-side canonicalization for a broadcast-sized dictionary:
+    identical semantics to ``canonicalize_dict`` (same union-find the
+    distributed CC's small-graph path uses) with zero Spark jobs — the
+    distributed path costs ~6 tiny jobs of pure scheduling latency that
+    dominate when the dict is small. ``rows``: dicts with url/tag/
+    pdf_to/norm_title. Returns sorted (url, tag, pdf_to_canon)."""
+    from ..operators.graph import _driver_cc
+
+    seed: dict[str, str] = {}
+    for r in rows:
+        nt, t = r["norm_title"], r["pdf_to"]
+        if nt not in seed or t < seed[nt]:
+            seed[nt] = t
+    edges = [
+        (r["pdf_to"], seed[r["norm_title"]])
+        for r in rows
+        if r["pdf_to"] != seed[r["norm_title"]]
+    ]
+    canon = dict(_driver_cc(edges))
+    out = {
+        (r["url"], r["tag"], canon.get(r["pdf_to"], r["pdf_to"])) for r in rows
+    }
+    return sorted(out)
+
+
 def canonicalize_dict(entity_dict: DataFrame, extra_edges: DataFrame | None = None) -> DataFrame:
     """-> (url, tag, pdf_to_canon): the broadcast dictionary the LINK
     stage consumes, with every target rewritten to its canonical id."""

@@ -89,16 +89,29 @@ def _parse_fonts(page: str) -> dict[str, tuple[bool, bool, bool, float]]:
     return fonts
 
 
-def _parse_tokens(url: str, html: bytes) -> list[tuple]:
-    """One document -> token rows. Malformed rows yield no tokens rather
-    than failing the job (recover-parse posture, ref: tools/ml/
-    features.py:214-216)."""
+def _parse_tokens_into(url: str, html: bytes, cols: dict[str, list]) -> int:
+    """One document -> token rows appended COLUMNAR into ``cols``.
+
+    Columnar accumulation is the hot-path discipline: a list-of-tuples
+    materializes millions of tuple objects per Arrow batch, which blows
+    CPython GC time and makes ``pd.DataFrame(rows)`` the dominant cost
+    of the whole pipeline (measured: ~7x the regex parse itself).
+
+    Malformed rows yield no tokens rather than failing the job
+    (recover-parse posture, ref: tools/ml/features.py:214-216).
+    """
     try:
         s = html.decode("utf-8")
     except Exception:
-        return []
+        return 0
     fonts = _parse_fonts(s)
-    rows = []
+    (
+        c_url, c_page, c_block, c_line, c_word, c_text, c_hpos, c_vpos,
+        c_width, c_height, c_fid, c_italic, c_math, c_bold, c_size, c_link,
+    ) = (cols[f.name] for f in TOKEN_SCHEMA.fields)
+    n = 0
+    unescape = _html.unescape
+    no_font = (None, None, None, None)
     for page_n, page_body in RE_PAGE.findall(s):
         p = int(page_n)
         for block_n, block_body in RE_BLOCK.findall(page_body):
@@ -106,28 +119,33 @@ def _parse_tokens(url: str, html: bytes) -> list[tuple]:
             for li, line_body in enumerate(RE_LINE.findall(block_body)):
                 for wi, m in enumerate(RE_WORD.finditer(line_body)):
                     fid, x, y, w, h, link, content = m.groups()
-                    italic, math, bold, size = fonts.get(fid, (None, None, None, None))
-                    rows.append(
-                        (
-                            url,
-                            p,
-                            b,
-                            li,
-                            wi,
-                            _html.unescape(content),
-                            float(x),
-                            float(y),
-                            float(w),
-                            float(h),
-                            fid,
-                            italic,
-                            math,
-                            bold,
-                            size,
-                            link if link else None,
-                        )
-                    )
-    return rows
+                    italic, math, bold, size = fonts.get(fid, no_font)
+                    c_url.append(url)
+                    c_page.append(p)
+                    c_block.append(b)
+                    c_line.append(li)
+                    c_word.append(wi)
+                    c_text.append(unescape(content))
+                    c_hpos.append(float(x))
+                    c_vpos.append(float(y))
+                    c_width.append(float(w))
+                    c_height.append(float(h))
+                    c_fid.append(fid)
+                    c_italic.append(italic)
+                    c_math.append(math)
+                    c_bold.append(bold)
+                    c_size.append(size)
+                    c_link.append(link if link else None)
+                    n += 1
+    return n
+
+
+def _parse_tokens(url: str, html: bytes) -> list[tuple]:
+    """Row-oriented wrapper kept for the text-invariant path and tests."""
+    cols: dict[str, list] = {f.name: [] for f in TOKEN_SCHEMA.fields}
+    _parse_tokens_into(url, html, cols)
+    names = [f.name for f in TOKEN_SCHEMA.fields]
+    return list(zip(*(cols[n] for n in names))) if cols["url"] else []
 
 
 def extract_tokens(pages: DataFrame, english_only: bool = True) -> DataFrame:
@@ -136,17 +154,161 @@ def extract_tokens(pages: DataFrame, english_only: bool = True) -> DataFrame:
         pages = pages.filter(F.col("lang") == "en")
     src = pages.select("url", "html")
 
+    names = [f.name for f in TOKEN_SCHEMA.fields]
+    flush_rows = 200_000  # bound worker memory: ~16 cols x 200k cells
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in TOKEN_SCHEMA.fields]
+        cols: dict[str, list] = {n: [] for n in names}
+        n_buf = 0
         for pdf in batches:
-            out = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 if html is None:
                     continue  # null payload -> no tokens, not a job failure
-                out.extend(_parse_tokens(url, bytes(html)))
-            yield pd.DataFrame(out, columns=cols)
+                n_buf += _parse_tokens_into(url, bytes(html), cols)
+                if n_buf >= flush_rows:
+                    yield pd.DataFrame(cols, columns=names)
+                    cols = {n: [] for n in names}
+                    n_buf = 0
+        if n_buf:
+            yield pd.DataFrame(cols, columns=names)
 
     return src.mapInPandas(parse, schema=TOKEN_SCHEMA)
+
+
+SPANS_FUSED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # 'span' | 'cite'
+        T.StructField("group", T.LongType(), False),
+        T.StructField("label", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("own_name", T.StringType(), True),
+        T.StructField("tag", T.StringType(), True),
+    ]
+)
+
+
+def _doc_spans(url: str, html: bytes):
+    """One document -> (span rows, citation tags), fused.
+
+    Runs the naive-rule labeler state machine (naive_extractor.py:20-55),
+    link-marker transforms + ordered span-text assembly + normalization
+    (extract_results, extract_graph.py:147-221) and own-name resolution
+    with the last-theorem fallback (extract_graph.py:243-265) in ONE
+    sequential pass over the parse — the per-document-sequential
+    semantics SURVEY §7.4.2 isolates in the Arrow stage. Exactly the
+    token-level semantics of the window-function path
+    (label.label_tokens + mentions.assemble_spans/resolve_span_names),
+    which stays as the cross-checked alternative implementation.
+    """
+    from ..functions.text import (
+        RESULT_LABELS,
+        RE_NONWORD,
+        find_thm_proof,
+        find_thm_start,
+        get_pattern,
+        normalize_text,
+    )
+
+    toks = _parse_tokens(url, html)
+    labels = set(RESULT_LABELS)
+    spans: list[list] = []  # [group, label, parts]
+    cite_tags: set[str] = set()
+    state_open = False
+    group = 0
+    num_mark = _RE_NUM_MARK
+
+    for t in toks:
+        (_, _, _, li, wi, text, _, _, _, _, _, italic, _, bold, _, link) = t
+        if wi == 0:
+            if (bold or italic) and get_pattern(text) in labels:
+                group += 1
+                spans.append([group, get_pattern(text), []])
+                state_open = True
+            elif li == 0:
+                state_open = False
+        if link == "cite":
+            cite_tags.add(RE_NONWORD.sub("", text))
+            marked = f"<LINK:{text}>"
+        elif link == "in":
+            marked = num_mark.sub(r"\1#in", text)
+        else:
+            marked = text
+        if state_open:
+            spans[-1][2].append(marked)
+
+    out = []
+    last_thm = None
+    for g, label, parts in spans:
+        text = normalize_text(" ".join(parts))
+        if label == "proof":
+            own = find_thm_proof(text) or last_thm
+        else:
+            own = find_thm_start(text)
+            last_thm = own
+        out.append((g, label, text, own.lower() if own else None))
+    return out, sorted(cite_tags)
+
+
+_RE_NUM_MARK = re.compile(r"(([a-z]\.)?\d+(\.\d+)*)")
+
+
+def extract_spans(pages: DataFrame, english_only: bool = True) -> DataFrame:
+    """pages -> fused (span | cite) rows: the single-Arrow-pass front end.
+
+    Output partitioning follows the input (narrow map): with pages
+    repartitioned by url upstream, the result is a tiny table (~20 rows
+    per document instead of ~800 tokens), so nothing downstream ever
+    shuffles the token stream. Replaces extract_tokens -> label_tokens ->
+    assemble_spans -> resolve_span_names -> paper_citations (the
+    window-function path, kept for cross-checking) with one python pass;
+    the JVM window/collect_list pipeline measured ~19 us/token under full
+    parallelism (sort+object-agg cache thrash) vs ~2 us/token here.
+    """
+    if english_only:
+        pages = pages.filter(F.col("lang") == "en")
+    src = pages.select("url", "html")
+    names = [f.name for f in SPANS_FUSED_SCHEMA.fields]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols: dict[str, list] = {n: [] for n in names}
+        n_buf = 0
+
+        def flush():
+            nonlocal cols, n_buf
+            out = pd.DataFrame(cols, columns=names)
+            cols = {n: [] for n in names}
+            n_buf = 0
+            return out
+
+        for pdf in batches:
+            for url, html in zip(pdf["url"], pdf["html"]):
+                if html is None:
+                    continue
+                spans, tags = _doc_spans(url, bytes(html))
+                for g, label, text, own in spans:
+                    cols["url"].append(url)
+                    cols["kind"].append("span")
+                    cols["group"].append(g)
+                    cols["label"].append(label)
+                    cols["text"].append(text)
+                    cols["own_name"].append(own)
+                    cols["tag"].append(None)
+                for tag in tags:
+                    cols["url"].append(url)
+                    cols["kind"].append("cite")
+                    cols["group"].append(0)
+                    cols["label"].append(None)
+                    cols["text"].append(None)
+                    cols["own_name"].append(None)
+                    cols["tag"].append(tag)
+                n_buf += len(spans) + len(tags)
+                if n_buf >= 100_000:
+                    yield flush()
+        if n_buf:
+            yield flush()
+
+    return src.mapInPandas(parse, schema=SPANS_FUSED_SCHEMA)
 
 
 def extract_text(pages: DataFrame, english_only: bool = False) -> DataFrame:

@@ -42,6 +42,19 @@ def load_entity_dict(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFr
     )
 
 
+def load_dico(spark: SparkSession, dict_rows) -> DataFrame:
+    """Canonicalize a broadcast-sized dictionary driver-side and wrap it
+    as the (url, tag, pdf_to_canon) DataFrame the LINK stage consumes.
+    Same output as ``canonicalize_dict(load_entity_dict(...))`` without
+    the half-dozen tiny Spark jobs (see canon.canonicalize_rows)."""
+    from .canon import canonicalize_rows
+
+    return spark.createDataFrame(
+        canonicalize_rows(dict_rows),
+        schema="url string, tag string, pdf_to_canon string",
+    )
+
+
 def _entity(url_col, name_col):
     return F.concat(url_col, F.lit("#"), name_col)
 
@@ -49,10 +62,12 @@ def _entity(url_col, name_col):
 def build_triples(
     spans_named: DataFrame,
     mentions: DataFrame,
-    tokens: DataFrame,
+    citations: DataFrame,
     dico: DataFrame,
     join_strategy: str = "broadcast",
 ) -> DataFrame:
+    """citations: (url, tag) doc-wide citation anchors — from
+    ``extract_spans`` (fused path) or ``paper_citations(tokens)``."""
     url, own = F.col("url"), F.col("own_name")
     named = spans_named.filter(own.isNotNull())
 
@@ -95,9 +110,7 @@ def build_triples(
         url.alias("url"),
         F.col("group"),
     )
-    cites_paper = link_paper_citations(
-        paper_citations(tokens), dico, strategy=join_strategy
-    ).select(
+    cites_paper = link_paper_citations(citations, dico, strategy=join_strategy).select(
         url.alias("subj"),
         F.lit("cites").alias("pred"),
         F.col("target").alias("obj"),
@@ -120,28 +133,63 @@ def build_triples(
 def build_kg(
     spark: SparkSession,
     pages: DataFrame,
-    entity_dict: DataFrame,
+    entity_dict: DataFrame | None = None,
     n_partitions: int | None = None,
     labeler: str = "window",
     join_strategy: str = "broadcast",
+    dico: DataFrame | None = None,
 ) -> DataFrame:
-    """pages + entity_dict -> triples DataFrame (lazy)."""
-    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
-    # explicit url-hash repartition (north rule): spreads document skew
-    pages = pages.repartition(n_partitions, F.xxhash64("url"))
+    """pages + entity_dict -> triples DataFrame (lazy).
 
-    # tokens feed two consumers (span pipeline + paper citations) and
-    # spans feed four triple branches — cache both so the extract/label
-    # chain runs once, not once per branch. On a real cluster these are
-    # the materialized intermediate Iceberg tables (SURVEY §4).
-    tokens = extract_tokens(pages, english_only=True).cache()
-    labeled = label_tokens(tokens) if labeler == "window" else label_tokens_arrow(tokens)
-    spans = resolve_span_names(assemble_spans(labeled)).cache()
+    Pass ``dico`` (pre-canonicalized (url, tag, pdf_to_canon)) to skip
+    the canonicalization stage — e.g. from ``load_dico`` when the
+    dictionary rows are already driver-resident.
+    """
+    # 4x the core count: enough slack for the scheduler to interleave
+    # around document skew (a partition == a core leaves the stage wall
+    # clock hostage to its single slowest partition); AQE coalesces the
+    # small ones after each shuffle. At cluster scale the caller sizes
+    # this by target partition bytes instead.
+    n_partitions = n_partitions or 4 * spark.sparkContext.defaultParallelism
+    # explicit url-hash repartition (north rule): spreads document skew.
+    # Hashing the raw `url` COLUMN (not xxhash64(url)) matters: the
+    # downstream Window.partitionBy("url") and groupBy("url", ...) then
+    # recognize the HashPartitioning and reuse it — the whole
+    # extract->label->span chain runs on ONE shuffle of the pages
+    # instead of re-shuffling the (larger) token table.
+    pages = pages.repartition(n_partitions, F.col("url"))
+
+    if labeler == "fused":
+        # single Arrow pass: parse + label + span assembly + name
+        # resolution per document (extract.extract_spans). The fused
+        # output is ~40x smaller than the token stream and feeds six
+        # triple branches — cache it. No token-level shuffle exists in
+        # this plan: the one wide exchange is the pages repartition.
+        from .extract import extract_spans
+
+        fused = extract_spans(pages, english_only=True).cache()
+        spans = fused.filter(F.col("kind") == "span").select(
+            "url", "group", "label", "text", "own_name"
+        )
+        citations = fused.filter(F.col("kind") == "cite").select("url", "tag")
+    else:
+        # window-function path (cross-check implementation): tokens feed
+        # two consumers (span pipeline + paper citations) and spans feed
+        # four triple branches — cache both so the extract/label chain
+        # runs once, not once per branch. On a real cluster these are
+        # the materialized intermediate Iceberg tables (SURVEY §4).
+        tokens = extract_tokens(pages, english_only=True).cache()
+        labeled = (
+            label_tokens(tokens) if labeler == "window" else label_tokens_arrow(tokens)
+        )
+        spans = resolve_span_names(assemble_spans(labeled)).cache()
+        citations = paper_citations(tokens)
     mentions = mine_mentions(spans)
-    # the dictionary is broadcast-sized and consumed by two joins — cache
-    # it so the CC canonicalization runs once
-    dico = canonicalize_dict(entity_dict).cache()
-    return build_triples(spans, mentions, tokens, dico, join_strategy=join_strategy)
+    if dico is None:
+        # the dictionary is broadcast-sized and consumed by two joins —
+        # cache it so the CC canonicalization runs once
+        dico = canonicalize_dict(entity_dict).cache()
+    return build_triples(spans, mentions, citations, dico, join_strategy=join_strategy)
 
 
 def lineage_rows(df: DataFrame, stage: str) -> DataFrame:

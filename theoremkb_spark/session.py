@@ -38,11 +38,31 @@ def get_spark(
         # would hand a whole small corpus to one scan task)
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # fork python workers from a daemon that has pandas/pyarrow
+        # preloaded — worker churn otherwise costs ~1.5 s of import per
+        # fresh worker (see daemon_preload.py)
+        .config("spark.python.daemon.module", "theoremkb_spark.daemon_preload")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, cpus: int | None = None) -> None:
+    """Force one Arrow-UDF task per core so every python worker pays its
+    pandas/pyarrow import before any timed work. Long-lived executors on a
+    real cluster amortize this once per executor; local-mode benchmarks
+    must do the same or the 4N run bills 4x the import storm."""
+    import pandas as pd  # noqa: F401 (imported here so the driver has it)
+
+    cpus = cpus or spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        for b in batches:
+            yield b
+
+    spark.range(0, cpus, 1, cpus).mapInPandas(_touch, "id long").count()
 
 
 def stop_spark() -> None:
