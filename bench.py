@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "400"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2400"))
 
 HEADLINE = [
     "agg_pricing_summary",
@@ -52,6 +52,10 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from theoremkb_spark.session import warm_python_workers
+
+    warm_python_workers(spark, CPUS)  # steady state: imports off the clock
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name][0]
@@ -61,18 +65,26 @@ def main() -> None:
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
-    # KG pipeline: corpus built off the clock, pipeline+write on it
-    from theoremkb_spark.pipeline.extract import load_pages
-    from theoremkb_spark.pipeline.runner import build_kg, load_entity_dict
+    # KG pipeline: corpus materialized to parquet off the clock (a
+    # LocalRelation would re-ship the html blobs driver->tasks inside
+    # the timed job), pipeline+write on it
+    from theoremkb_spark.corpus.generator import entity_dict_rows
+    from theoremkb_spark.pipeline.extract import write_pages_parquet
+    from theoremkb_spark.pipeline.runner import build_kg, load_dico
 
-    pages = load_pages(spark, KG_DOCS)
-    ents = load_entity_dict(spark, KG_DOCS)
+    pages_path = f"/tmp/bench_pages_{KG_DOCS}.parquet"
+    if not os.path.exists(pages_path):
+        write_pages_parquet(pages_path, KG_DOCS)
+    pages = spark.read.parquet(pages_path)
+    dico = load_dico(spark, list(entity_dict_rows(KG_DOCS))).cache()
     pages.count()
+    # tiny end-to-end pass: codegen + broadcast machinery off the clock
+    _force(build_kg(spark, pages.limit(16), dico=dico))
     t0 = time.time()
-    triples = build_kg(spark, pages, ents)
+    triples = build_kg(spark, pages, dico=dico)
     _force(triples)
     kg_sec = time.time() - t0
-    n_triples = build_kg(spark, pages, ents).count()
+    n_triples = build_kg(spark, pages, dico=dico).count()
     timings["kg_pipeline"] = round(kg_sec, 3)
 
     total = round(sum(timings.values()), 3)

@@ -135,7 +135,7 @@ def build_kg(
     pages: DataFrame,
     entity_dict: DataFrame | None = None,
     n_partitions: int | None = None,
-    labeler: str = "window",
+    labeler: str = "fused",
     join_strategy: str = "broadcast",
     dico: DataFrame | None = None,
 ) -> DataFrame:
