@@ -314,6 +314,184 @@ def q_multimodal_features(spark, sf):
     ).orderBy("id")
 
 
+# ------------------------------------------ linking / similarity / sampling
+
+
+def q_sim_tfidf_topk(spark, sf):
+    """TF-IDF cosine best-match per probe doc — the reference's theorem
+    matcher re-composed from DataFrame ops (M7/J7,
+    tools/thm_similarity/model_tfidf.py:22-65): explode->tf, df->idf,
+    sparse dot product via a term equi-join (blocking: only co-occurring
+    terms pair up), window argmax per probe. Probes = doc_id % 100 == 0."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    terms = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = (
+        terms.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    probes = w.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("src"), "term", F.col("w").alias("ws")
+    )
+    dots = (
+        F.broadcast(probes)
+        .join(w.select(F.col("doc_id").alias("dst"), "term", F.col("w").alias("wd")), "term")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(F.col("ws") * F.col("wd")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms.select(F.col("doc_id").alias("src"), F.col("nrm").alias("ns")), "src")
+        .join(norms.select(F.col("doc_id").alias("dst"), F.col("nrm").alias("nd")), "dst")
+        .select("src", "dst", (F.col("dot") / (F.col("ns") * F.col("nd"))).alias("cos"))
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.round(F.col("cos"), 6).desc(), F.col("dst"))
+    )
+    return (
+        cos.withColumn("_rk", rk)
+        .filter(F.col("_rk") == 1)
+        .select("src", "dst", F.round(F.col("cos"), 4).alias("sim"))
+        .orderBy("src")
+    )
+
+
+SQL_SIM_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), terms AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM terms GROUP BY term
+), w AS (
+  SELECT t.doc_id, t.term, t.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df) AS w
+  FROM terms t JOIN dfreq USING (term)
+), norms AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+  SELECT s.doc_id AS src, d.doc_id AS dst, sum(s.w * d.w) AS dot
+  FROM w s JOIN w d USING (term)
+  WHERE s.doc_id % 100 = 0 AND s.doc_id <> d.doc_id
+  GROUP BY s.doc_id, d.doc_id
+), cos AS (
+  SELECT src, dst, dot / (ns.nrm * nd.nrm) AS cos
+  FROM dots JOIN norms ns ON ns.doc_id = src JOIN norms nd ON nd.doc_id = dst
+), ranked AS (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src ORDER BY round(cos, 6) DESC, dst) AS rk
+  FROM cos
+)
+SELECT src, dst, round(cos, 4) AS sim FROM ranked WHERE rk = 1 ORDER BY src
+"""
+
+
+def q_link_title_match(spark, sf):
+    """Normalized-title exact-match linking (J6 semantics,
+    tools/references/get_links.py:74-85,122-133): title = document head,
+    normalization = lowercase + keep [a-z] only, equi-join on the
+    normalized key -> coreference pairs."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.substring(F.col("text"), 1, 40)), "[^a-z]", "").alias(
+            "norm_title"
+        ),
+    ).filter(F.col("norm_title") != "")
+    a = d.select(F.col("doc_id").alias("src"), "norm_title")
+    b = d.select(F.col("doc_id").alias("dst"), "norm_title")
+    return (
+        a.join(b, "norm_title")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "norm_title")
+        .orderBy("src", "dst")
+    )
+
+
+SQL_LINK_TITLE = """
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(substr(text, 1, 40)), '[^a-z]', '', 'g') AS norm_title
+  FROM documents
+)
+SELECT a.doc_id AS src, b.doc_id AS dst, a.norm_title
+FROM t a JOIN t b USING (norm_title)
+WHERE a.norm_title <> '' AND a.doc_id < b.doc_id
+ORDER BY src, dst
+"""
+
+
+def q_diff_agreement(spark, sf):
+    """Agreement diff between two independent labelers (M9 semantics,
+    extractors/misc/aggreement.py:25-45): full confusion matrix of the
+    n-gram-marker language ID vs a stopword-threshold classifier."""
+    d = _t(spark, sf, "documents")
+    en_stop = stopword_hits(F.col("text"))
+    pred_b = F.when(en_stop > 0, F.lit("en")).otherwise(F.lit("und"))
+    return (
+        d.select(lang_id(F.col("text")).alias("pred_a"), pred_b.alias("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred_a", "pred_b")
+    )
+
+
+SQL_DIFF_AGREEMENT = f"""
+WITH scored AS (
+  SELECT {_score_sql(_MARKERS["en"])} AS s_en,
+         {_score_sql(_MARKERS["es"])} AS s_es,
+         {_score_sql(_MARKERS["de"])} AS s_de,
+         {_score_sql(_MARKERS["fr"])} AS s_fr,
+         {' + '.join(_occ_sql(w) for w in _STOP_EN)} AS stop_en
+  FROM documents
+), pred AS (
+  SELECT CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+              WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+              ELSE 'fr' END AS pred_a,
+         CASE WHEN stop_en > 0 THEN 'en' ELSE 'und' END AS pred_b
+  FROM scored
+)
+SELECT pred_a, pred_b, count(*) AS n FROM pred
+GROUP BY pred_a, pred_b ORDER BY pred_a, pred_b
+"""
+
+
+def q_sample_stratified(spark, sf):
+    """Deterministic stratified sampling (U4/A7 semantics, cli.py:74-83
+    train/test split): md5-bucketed per-stratum fractions (en 50%,
+    others 25%) — reproducible across engines and runs, unlike
+    rand()-based sampleBy. Returns the sampled ids."""
+    d = _t(spark, sf, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(F.col("lang") == "en", nib.isin(*"01234567")).otherwise(
+        nib.isin(*"0123")
+    )
+    return d.filter(keep).select("doc_id", "lang").orderBy("doc_id")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE CASE WHEN lang = 'en'
+           THEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3','4','5','6','7')
+           ELSE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3') END
+ORDER BY doc_id
+"""
+
+
 QUERIES_DOCS = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
@@ -326,4 +504,8 @@ QUERIES_DOCS = {
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "emb_near_dups": (q_emb_near_dups, SQL_EMB_NEAR_DUPS),
     "multimodal_features": (q_multimodal_features, None),
+    "sim_tfidf_topk": (q_sim_tfidf_topk, SQL_SIM_TFIDF),
+    "link_title_match": (q_link_title_match, SQL_LINK_TITLE),
+    "diff_agreement": (q_diff_agreement, SQL_DIFF_AGREEMENT),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
 }
