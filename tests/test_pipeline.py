@@ -62,6 +62,15 @@ def test_window_and_arrow_labelers_agree(spark, pages):
     tokens.unpersist()
 
 
+def test_fused_and_window_paths_emit_identical_triples(spark, pages, entity_dict):
+    """The fused single-Arrow-pass front end and the window-function
+    pipeline are alternative physical plans of the same logical job."""
+    fused = build_kg(spark, pages, entity_dict, labeler="fused")
+    window = build_kg(spark, pages, entity_dict, labeler="window")
+    assert fused.exceptAll(window).isEmpty()
+    assert window.exceptAll(fused).isEmpty()
+
+
 def test_non_english_filtered(spark, pages):
     langs = {r.lang for r in pages.select("lang").distinct().collect()}
     tokens = extract_tokens(pages, english_only=True)
