@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "2400"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "9600"))
 
 HEADLINE = [
     "agg_pricing_summary",
@@ -74,7 +74,7 @@ def main() -> None:
 
     pages_path = f"/tmp/bench_pages_{KG_DOCS}.parquet"
     if not os.path.exists(pages_path):
-        write_pages_parquet(pages_path, KG_DOCS)
+        write_pages_parquet(pages_path, KG_DOCS, jobs=min(CPUS, 16))
     pages = spark.read.parquet(pages_path)
     dico = load_dico(spark, list(entity_dict_rows(KG_DOCS))).cache()
     pages.count()

@@ -355,15 +355,10 @@ def load_pages(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=PAGES_SCHEMA)
 
 
-def write_pages_parquet(path: str, n_docs: int, seed: int = 42, chunk: int = 200) -> None:
-    """Write the synthetic corpus to parquet without Spark (pyarrow),
-    chunked so large corpora never sit in memory at once."""
+def _pages_arrow_schema():
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    from ..corpus.generator import pages_rows
-
-    schema = pa.schema(
+    return pa.schema(
         [
             ("url", pa.string()),
             ("warc_ts", pa.timestamp("us")),
@@ -372,6 +367,26 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42, chunk: int = 200
             ("lang", pa.string()),
         ]
     )
+
+
+def _write_pages_part(task) -> None:
+    """Docs [start, end) -> one parquet file (multiprocessing-friendly;
+    deterministic regardless of chunking — every doc is independently
+    seeded)."""
+    start, end, n_docs, seed, path, chunk = task
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..corpus.generator import (
+        _doc_cite_targets,
+        build_doc,
+        doc_text,
+        externals,
+        render_html,
+    )
+
+    exts = externals(seed)
+    schema = _pages_arrow_schema()
     writer = pq.ParquetWriter(path, schema)
     buf: list[dict] = []
 
@@ -381,9 +396,43 @@ def write_pages_parquet(path: str, n_docs: int, seed: int = 42, chunk: int = 200
             writer.write_table(pa.Table.from_pylist(buf, schema=schema))
             buf = []
 
-    for r in pages_rows(n_docs, seed):
-        buf.append(r)
+    for i in range(start, end):
+        targets = _doc_cite_targets(i, seed, exts, n_docs)
+        doc = build_doc(i, seed, cite_tags=[t for t, _, _ in targets])
+        buf.append(
+            {
+                "url": doc.url,
+                "warc_ts": doc.warc_ts,
+                "html": render_html(doc),
+                "text": doc_text(doc),
+                "lang": doc.lang,
+            }
+        )
         if len(buf) >= chunk:
             flush()
     flush()
     writer.close()
+
+
+def write_pages_parquet(
+    path: str, n_docs: int, seed: int = 42, chunk: int = 200, jobs: int = 1
+) -> None:
+    """Write the synthetic corpus to parquet without Spark (pyarrow),
+    chunked so large corpora never sit in memory at once. ``jobs > 1``
+    writes a DIRECTORY of part files in parallel (same rows — per-doc
+    seeding is chunking-independent)."""
+    if jobs > 1:
+        import multiprocessing as mp
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        per = -(-n_docs // jobs)
+        tasks = [
+            (lo, min(lo + per, n_docs), n_docs, seed,
+             os.path.join(path, f"part-{lo:08d}.parquet"), chunk)
+            for lo in range(0, n_docs, per)
+        ]
+        with mp.Pool(jobs) as pool:
+            pool.map(_write_pages_part, tasks)
+        return
+    _write_pages_part((0, n_docs, n_docs, seed, path, chunk))
