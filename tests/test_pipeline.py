@@ -62,6 +62,23 @@ def test_window_and_arrow_labelers_agree(spark, pages):
     tokens.unpersist()
 
 
+def test_arrow_labeler_with_shipped_model_artifact(spark, pages, tmp_path):
+    """The M1 artifact path: export params, register via sc.addFile,
+    load per-executor inside the Arrow UDF — same labels as builtin."""
+    from theoremkb_spark.pipeline.label import export_model_artifact
+
+    art = tmp_path / "rule_model.json"
+    export_model_artifact(str(art))
+    spark.sparkContext.addFile(str(art))
+
+    tokens = extract_tokens(pages).cache()
+    cols = ["url", "page", "block", "line", "word", "label", "group"]
+    a = label_tokens_arrow(tokens).select(*cols)
+    b = label_tokens_arrow(tokens, model_file="rule_model.json").select(*cols)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    tokens.unpersist()
+
+
 def test_fused_and_window_paths_emit_identical_triples(spark, pages, entity_dict):
     """The fused single-Arrow-pass front end and the window-function
     pipeline are alternative physical plans of the same logical job."""

@@ -76,20 +76,63 @@ def label_tokens(tokens: DataFrame) -> DataFrame:
 
 # --- Arrow-batched inference variant -------------------------------------
 
-_MODEL = None  # loaded once per executor process (SURVEY §7.3)
+_MODEL_CACHE: dict = {}  # one model per (executor process, artifact)
 
 
-def _get_model():
-    """Stand-in for a broadcast CRF artifact: a deterministic sequence
-    scorer implementing the same frozen rule semantics, vectorized over
-    the whole document (the Arrow batch)."""
-    global _MODEL
-    if _MODEL is None:
+def export_model_artifact(path: str) -> None:
+    """Write the sequence-labeler parameters as a JSON artifact — the
+    shippable stand-in for a trained CRF file. On a cluster the artifact
+    travels via ``spark.sparkContext.addFile(path)`` / ``spark-submit
+    --files`` and every executor loads it exactly once (M1 pattern,
+    SURVEY §2.9); a pickled sklearn-crfsuite model would ship the same
+    way (apply-parity is the gate, not train-parity — M2)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "kind": "rule-sequence-labeler",
+                "version": 1,
+                "result_labels": list(RESULT_LABELS),
+                "require_style": ["bold", "italic"],
+            },
+            f,
+        )
+
+
+def _resolve_artifact(name: str) -> str:
+    """Absolute path, or a name registered through SparkContext.addFile
+    (resolved per-executor via SparkFiles)."""
+    import os
+
+    if os.path.exists(name):
+        return name
+    from pyspark import SparkFiles
+
+    return SparkFiles.get(name)
+
+
+def _get_model(artifact: str | None = None):
+    """Deterministic sequence scorer implementing the frozen rule
+    semantics, vectorized over the whole document (the Arrow batch).
+    Loaded once per executor process and memoized — the load cost (file
+    read, or unpickling a real CRF) is paid per executor, never per
+    batch."""
+    key = artifact or "__builtin__"
+    if key not in _MODEL_CACHE:
         import re
+
+        if artifact is not None:
+            import json
+
+            with open(_resolve_artifact(artifact)) as f:
+                params = json.load(f)
+            labels = set(params["result_labels"])
+        else:
+            labels = set(RESULT_LABELS)
 
         not_alnum = re.compile(r"[^a-zA-Z0-9 ]")
         digit = re.compile(r"[0-9]")
-        labels = set(RESULT_LABELS)
 
         def predict(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(ORDER, kind="mergesort").reset_index(drop=True)
@@ -111,15 +154,17 @@ def _get_model():
             pdf["group"] = group.where(label != "O", 0)
             return pdf
 
-        _MODEL = predict
-    return _MODEL
+        _MODEL_CACHE[key] = predict
+    return _MODEL_CACHE[key]
 
 
-def label_tokens_arrow(tokens: DataFrame) -> DataFrame:
+def label_tokens_arrow(tokens: DataFrame, model_file: str | None = None) -> DataFrame:
     """applyInPandas-by-url labeler: the CRF-style Arrow inference stage.
 
     Sequence semantics stay sequential-per-document inside the UDF
     (SURVEY §7.4.2); parallelism comes from document-level grouping.
+    ``model_file``: artifact name registered via ``sc.addFile`` (or an
+    absolute path) — loaded once per executor, memoized across batches.
     """
     from pyspark.sql import types as T
 
@@ -134,6 +179,6 @@ def label_tokens_arrow(tokens: DataFrame) -> DataFrame:
     )
 
     def infer(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _get_model()(pdf)
+        return _get_model(model_file)(pdf)
 
     return tokens.groupBy("url").applyInPandas(infer, schema=out_schema)
