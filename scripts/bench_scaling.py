@@ -63,6 +63,12 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--runs", type=int, default=2, help="repeats, best-of")
     ap.add_argument("--matrix", action="store_true", help="also run 1..32 levels")
+    ap.add_argument(
+        "--write-baseline",
+        action="store_true",
+        help="overwrite BENCH/BASELINE.md with this run (it holds curated "
+        "evidence — don't clobber it with a small-docs smoke run)",
+    )
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
@@ -98,6 +104,8 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    if not args.write_baseline:
+        return
     rows = "\n".join(
         f"| local[{c}] | {results[c]['wall_s']} | {results[c]['triples_per_sec']} |"
         for c in levels
@@ -129,7 +137,7 @@ varying run to run, so local[32] cannot evidence executor scaling
 honestly. The chosen pair keeps both levels inside the VM's linear
 region; the matrix above reports the ceiling transparently.
 
-Reproduce: `python scripts/bench_scaling.py --docs {args.docs} --n {n} --matrix`
+Reproduce: `python scripts/bench_scaling.py --docs {args.docs} --n {n} --matrix --write-baseline`
 """
         )
 
