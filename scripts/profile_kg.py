@@ -1,4 +1,10 @@
-"""Per-stage wall-clock profile of the KG pipeline (scaling diagnosis)."""
+"""Per-stage wall-clock profile of the KG pipeline (scaling diagnosis).
+
+Profiles the FUSED plan (the production path): one number per phase so
+regressions in any stage are visible at a glance. For stage-level truth
+use the Spark event log (unzstd the events file; compare stage wall vs
+Executor Run/CPU Time).
+"""
 
 from __future__ import annotations
 
@@ -13,60 +19,48 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
 
+    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    from theoremkb_spark.pipeline.canon import canonicalize_dict
-    from theoremkb_spark.pipeline.extract import extract_tokens
-    from theoremkb_spark.pipeline.label import label_tokens
-    from theoremkb_spark.pipeline.mentions import (
-        assemble_spans,
-        mine_mentions,
-        resolve_span_names,
-    )
-    from theoremkb_spark.pipeline.runner import build_triples, load_entity_dict
-    from theoremkb_spark.session import get_spark
+    from theoremkb_spark.pipeline.extract import extract_spans
+    from theoremkb_spark.pipeline.mentions import mine_mentions
+    from theoremkb_spark.pipeline.runner import build_triples, load_dico, lineage_rows
+    from theoremkb_spark.session import get_spark, warm_python_workers
 
     spark = get_spark("profile_kg", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    warm_python_workers(spark, args.cpus)
     times = {}
 
-    def mark(name, t0):
+    def clock(name, fn):
+        t0 = time.time()
+        r = fn()
         times[name] = round(time.time() - t0, 2)
+        return r
 
-    t0 = time.time()
     pages = spark.read.parquet(args.pages_parquet)
-    n_docs = pages.count()
-    ents = load_entity_dict(spark, n_docs)
-    mark("load", t0)
+    n_docs = clock("load", lambda: pages.count())
+    dict_rows = pq.read_table(args.pages_parquet + ".dict.parquet").to_pylist()
+    dico = clock("dico", lambda: load_dico(spark, dict_rows).cache())
 
-    t0 = time.time()
-    pages = pages.repartition(args.cpus, F.xxhash64("url"))
-    tokens = extract_tokens(pages).cache()
-    n_tokens = tokens.count()
-    mark("extract", t0)
-
-    t0 = time.time()
-    spans = resolve_span_names(assemble_spans(label_tokens(tokens))).cache()
-    n_spans = spans.count()
-    mark("label+spans", t0)
-
-    t0 = time.time()
+    pages_r = pages.repartition(4 * args.cpus, F.col("url"))
+    fused = extract_spans(pages_r).cache()
+    clock("fused_extract", lambda: fused.count())
+    spans = fused.filter(F.col("kind") == "span").select(
+        "url", "group", "label", "text", "own_name"
+    )
+    citations = fused.filter(F.col("kind") == "cite").select("url", "tag")
     mentions = mine_mentions(spans)
-    mentions.write.mode("overwrite").format("noop").save()
-    mark("mentions", t0)
-
-    t0 = time.time()
-    dico = canonicalize_dict(ents).cache()
-    dico.count()
-    mark("canon_cc", t0)
-
-    t0 = time.time()
-    triples = build_triples(spans, mentions, __import__("theoremkb_spark.pipeline.mentions", fromlist=["paper_citations"]).paper_citations(tokens), dico)
-    triples.write.mode("overwrite").format("noop").save()
-    mark("triples", t0)
+    clock("mentions", lambda: mentions.write.mode("overwrite").format("noop").save())
+    triples = build_triples(spans, mentions, citations, dico).persist()
+    clock("triples", lambda: triples.write.mode("overwrite").format("noop").save())
+    clock(
+        "lineage",
+        lambda: lineage_rows(triples, "t").write.mode("overwrite").format("noop").save(),
+    )
 
     times["total"] = round(sum(times.values()), 2)
-    print(json.dumps({"cpus": args.cpus, "docs": n_docs, "tokens": n_tokens, "spans": n_spans, **times}))
+    print(json.dumps({"cpus": args.cpus, "docs": n_docs, **times}))
     spark.stop()
 
 

@@ -184,7 +184,9 @@ def build_kg(
         )
         spans = resolve_span_names(assemble_spans(labeled)).cache()
         citations = paper_citations(tokens)
-    mentions = mine_mentions(spans)
+    # two consumers (intra + extra cite branches) — cache so the mention
+    # mining UDF runs once over the span table
+    mentions = mine_mentions(spans).cache()
     if dico is None:
         # the dictionary is broadcast-sized and consumed by two joins —
         # cache it so the CC canonicalization runs once
