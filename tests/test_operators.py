@@ -57,3 +57,45 @@ def test_salted_join_no_row_explosion(spark):
     fact = spark.range(0, 500).select((F.col("id") % 3).alias("k"), "id")
     dim = spark.createDataFrame([(0, "x"), (1, "y")], "k long, s string")
     assert salted_join(fact, dim, on=["k"], how="left", salt=8).count() == 500
+
+
+def test_span_pr_report(spark):
+    from theoremkb_spark.operators.evaluate import span_pr_report
+
+    gold = spark.createDataFrame(
+        [("u1", 1, "theorem", "theorem 1.1"), ("u1", 2, "proof", "theorem 1.1"),
+         ("u2", 1, "lemma", "lemma 2.1")],
+        "url string, group int, label string, own_name string",
+    )
+    # pred: misses the proof, adds a spurious lemma
+    pred = spark.createDataFrame(
+        [("u1", 1, "theorem", "theorem 1.1"), ("u2", 1, "lemma", "lemma 2.1"),
+         ("u2", 9, "lemma", "lemma 9.9")],
+        "url string, group int, label string, own_name string",
+    )
+    rows = {r.label: r for r in span_pr_report(pred, gold).collect()}
+    assert rows["theorem"].precision == 1.0 and rows["theorem"].recall == 1.0
+    assert rows["proof"].tp == 0 and rows["proof"].fn == 1
+    assert rows["lemma"].tp == 1 and rows["lemma"].fp == 1
+    m = rows["__micro__"]
+    assert (m.tp, m.fp, m.fn) == (2, 1, 1)
+    assert m.precision == round(2 / 3, 6) and m.recall == round(2 / 3, 6)
+
+
+def test_span_pr_report_perfect_on_pipeline_paths(spark):
+    """fused vs window span tables grade each other at P/R = 1.0."""
+    from theoremkb_spark.operators.evaluate import span_pr_report
+    from theoremkb_spark.pipeline.extract import extract_spans, extract_tokens, load_pages
+    from theoremkb_spark.pipeline.label import label_tokens
+    from theoremkb_spark.pipeline.mentions import assemble_spans, resolve_span_names
+    from pyspark.sql import functions as F
+
+    pages = load_pages(spark, 20)
+    fused = extract_spans(pages).filter(F.col("kind") == "span").select(
+        "url", "group", "label", "own_name"
+    )
+    window = resolve_span_names(
+        assemble_spans(label_tokens(extract_tokens(pages)))
+    ).select("url", "group", "label", "own_name")
+    rep = {r.label: r for r in span_pr_report(fused, window).collect()}
+    assert rep["__micro__"].f1 == 1.0
