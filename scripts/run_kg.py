@@ -29,6 +29,12 @@ def main() -> None:
         " in-process (use scripts/make_corpus.py to materialize it)",
     )
     ap.add_argument("--labeler", default="fused", choices=["fused", "window", "arrow"])
+    ap.add_argument(
+        "--model",
+        default=None,
+        help="labeler artifact: a path (registered via sc.addFile) or a bare"
+        " name already shipped with spark-submit --files",
+    )
     ap.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--join-strategy", default="broadcast", choices=["broadcast", "salted"])
     args = ap.parse_args()
@@ -41,6 +47,11 @@ def main() -> None:
 
     spark = get_spark("run_kg", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    model_file = args.model
+    if model_file and os.path.exists(model_file):
+        spark.sparkContext.addFile(model_file)
+        model_file = os.path.basename(model_file)
 
     if args.pages_parquet:
         pages = spark.read.parquet(args.pages_parquet)
@@ -75,6 +86,7 @@ def main() -> None:
             labeler=args.labeler,
             join_strategy=args.join_strategy,
             dico=dico,
+            model_file=model_file,
         ).write.mode("overwrite").format("noop").save()
 
     t0 = time.time()
@@ -84,6 +96,7 @@ def main() -> None:
         labeler=args.labeler,
         join_strategy=args.join_strategy,
         dico=dico,
+        model_file=model_file,
     ).persist()  # consumed twice: triple sink + lineage rollup
     triples.write.mode("overwrite").parquet(f"{args.out}/triples")
     lineage_rows(triples, "triples").write.mode("overwrite").parquet(

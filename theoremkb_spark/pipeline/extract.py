@@ -188,7 +188,22 @@ SPANS_FUSED_SCHEMA = T.StructType(
 )
 
 
-def _doc_spans(url: str, html: bytes):
+def _labeler_params(model_file: str | None):
+    """Result-label vocabulary, from the shipped artifact when given
+    (resolved per-executor via SparkFiles — M1 pattern) else builtin."""
+    from ..functions.text import RESULT_LABELS
+
+    if model_file is None:
+        return frozenset(RESULT_LABELS)
+    import json
+
+    from .label import _resolve_artifact
+
+    with open(_resolve_artifact(model_file)) as f:
+        return frozenset(json.load(f)["result_labels"])
+
+
+def _doc_spans(url: str, html: bytes, labels=None):
     """One document -> (span rows, citation tags), fused.
 
     Runs the naive-rule labeler state machine (naive_extractor.py:20-55),
@@ -211,7 +226,8 @@ def _doc_spans(url: str, html: bytes):
     )
 
     toks = _parse_tokens(url, html)
-    labels = set(RESULT_LABELS)
+    if labels is None:
+        labels = set(RESULT_LABELS)
     spans: list[list] = []  # [group, label, parts]
     cite_tags: set[str] = set()
     state_open = False
@@ -253,7 +269,9 @@ def _doc_spans(url: str, html: bytes):
 _RE_NUM_MARK = re.compile(r"(([a-z]\.)?\d+(\.\d+)*)")
 
 
-def extract_spans(pages: DataFrame, english_only: bool = True) -> DataFrame:
+def extract_spans(
+    pages: DataFrame, english_only: bool = True, model_file: str | None = None
+) -> DataFrame:
     """pages -> fused (span | cite) rows: the single-Arrow-pass front end.
 
     Output partitioning follows the input (narrow map): with pages
@@ -271,6 +289,7 @@ def extract_spans(pages: DataFrame, english_only: bool = True) -> DataFrame:
     names = [f.name for f in SPANS_FUSED_SCHEMA.fields]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        labels = _labeler_params(model_file)  # once per worker, not per row
         cols: dict[str, list] = {n: [] for n in names}
         n_buf = 0
 
@@ -285,7 +304,7 @@ def extract_spans(pages: DataFrame, english_only: bool = True) -> DataFrame:
             for url, html in zip(pdf["url"], pdf["html"]):
                 if html is None:
                     continue
-                spans, tags = _doc_spans(url, bytes(html))
+                spans, tags = _doc_spans(url, bytes(html), labels)
                 for g, label, text, own in spans:
                     cols["url"].append(url)
                     cols["kind"].append("span")

@@ -138,6 +138,7 @@ def build_kg(
     labeler: str = "fused",
     join_strategy: str = "broadcast",
     dico: DataFrame | None = None,
+    model_file: str | None = None,
 ) -> DataFrame:
     """pages + entity_dict -> triples DataFrame (lazy).
 
@@ -167,7 +168,7 @@ def build_kg(
         # this plan: the one wide exchange is the pages repartition.
         from .extract import extract_spans
 
-        fused = extract_spans(pages, english_only=True).cache()
+        fused = extract_spans(pages, english_only=True, model_file=model_file).cache()
         spans = fused.filter(F.col("kind") == "span").select(
             "url", "group", "label", "text", "own_name"
         )
@@ -180,7 +181,9 @@ def build_kg(
         # the materialized intermediate Iceberg tables (SURVEY §4).
         tokens = extract_tokens(pages, english_only=True).cache()
         labeled = (
-            label_tokens(tokens) if labeler == "window" else label_tokens_arrow(tokens)
+            label_tokens(tokens)
+            if labeler == "window"
+            else label_tokens_arrow(tokens, model_file=model_file)
         )
         spans = resolve_span_names(assemble_spans(labeled)).cache()
         citations = paper_citations(tokens)
