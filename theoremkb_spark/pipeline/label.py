@@ -6,11 +6,15 @@ naive_extractor.py:20-55``, and its BIO-decode group numbering,
 ``extractors/crf.py:113-131``):
 
 * ``label_tokens`` — pure DataFrame/window functions, fully JVM-side
-  (whole-stage codegen, zero Python): the production path.
+  (whole-stage codegen, zero Python): the cross-check path.
 * ``label_tokens_arrow`` — ``applyInPandas`` grouped by url, the
   Arrow-batched sequence-inference pattern of the north star (model
   loaded once per executor; here the "model" is the deterministic rule
   scorer — CRF apply-parity is the gate, not train-parity, SURVEY §2.9 M2).
+
+The PRODUCTION path fuses this labeling into the extract Arrow pass
+(``extract.extract_spans``) so the token stream never crosses a shuffle;
+all three implementations are tested to emit identical spans/triples.
 
 Span-open rule: a line-initial token whose word-pattern (get_pattern,
 misc/__init__.py:32-43) is a result label and whose font is bold or
