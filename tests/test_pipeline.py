@@ -96,3 +96,27 @@ def test_non_english_filtered(spark, pages):
     assert not (token_urls & non_en)
     if len(langs) > 1:
         assert non_en  # corpus does contain non-en rows at this size
+
+
+def test_window_path_regexes_case_insensitive(spark):
+    """ADVICE round-1: the JVM regex constants must match the frozen
+    Python twins (re.IGNORECASE) on lowercase/uppercase inputs, e.g.
+    'proof. [Proof of theorem 2]' or an 'OPEN Problem 4' head."""
+    from theoremkb_spark.functions.text import find_thm_proof, find_thm_start
+    from theoremkb_spark.pipeline.mentions import resolve_span_names
+
+    rows = [
+        ("u", 1, "lemma", "OPEN Problem 4 holds trivially."),
+        ("u", 2, "proof", "Proof. [Proof of theorem 2] qed"),
+        ("u", 3, "proof", "proof OF Lemma 1.2. direct."),
+    ]
+    spans = spark.createDataFrame(rows, "url string, group long, label string, text string")
+    got = {r.group: r.own_name for r in resolve_span_names(spans).collect()}
+    want = {
+        1: (find_thm_start(rows[0][3]) or "").lower() or None,
+        2: (find_thm_proof(rows[1][3]) or "").lower() or None,
+        3: (find_thm_proof(rows[2][3]) or "").lower() or None,
+    }
+    assert got[1] == want[1] == "open problem 4"
+    assert got[2] == want[2] == "theorem 2"
+    assert got[3] == want[3] == "lemma 1.2"

@@ -70,3 +70,18 @@ def test_lineage_reconciles(spark, tmp_path):
         store.read_lineage(spark).groupBy().sum("rows").first()[0]
     )
     assert lineage_total == store.read_triples(spark).count()
+
+
+def test_looped_incremental_does_not_accumulate_cached_rdds(spark, tmp_path):
+    """ADVICE round-1: build_kg's stage caches must be released per batch —
+    a long-lived incremental session must not leak persisted blocks."""
+    pages = load_pages(spark, N)
+    ents = load_entity_dict(spark, N)
+    store = CheckpointedTripleStore(str(tmp_path / "kg4"))
+
+    run_incremental(spark, pages, ents, store, limit=6)  # warm-up batch
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        run_incremental(spark, pages, ents, store, limit=6)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"cached RDDs grew {before} -> {after}"

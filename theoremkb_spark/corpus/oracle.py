@@ -17,6 +17,7 @@ import re
 
 from ..functions.text import (
     RESULT_LABELS,
+    RE_NONWORD,
     find_ref_results,
     find_thm_proof,
     find_thm_start,
@@ -26,7 +27,11 @@ from ..functions.text import (
 from .generator import Block, Doc
 
 BOLD_OR_ITALIC = {"f1", "f2"}
-RE_NUM_MARK = re.compile(r"(([a-z]\.)?\d+(\.\d+)*)", re.IGNORECASE)
+# case-sensitive like the frozen pipeline twins (extract._RE_NUM_MARK and
+# the JVM NUM_RE): the reference's own call site passes re.IGNORECASE as
+# re.sub's COUNT argument (extract_graph.py:174), so flags never apply
+# there either.
+RE_NUM_MARK = re.compile(r"(([a-z]\.)?\d+(\.\d+)*)")
 
 
 def detect_spans(doc: Doc) -> list[tuple[int, str, Block]]:
@@ -123,7 +128,7 @@ def oracle_doc_triples(doc: Doc, dico: dict[str, str]) -> set[tuple[str, str, st
         for line in block.lines:
             for tok in line:
                 if tok.link == "cite":
-                    tag = re.sub(r"\W", "", tok.text)
+                    tag = RE_NONWORD.sub("", tok.text)
                     triples.add((url, "cites", resolve(tag), url))
 
     return triples

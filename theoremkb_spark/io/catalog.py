@@ -127,7 +127,7 @@ def run_incremental(
     """Process only not-yet-committed documents; returns the batch id or -1
     when nothing is left to do. ``limit`` caps the batch (test hook for the
     kill-and-rerun scenario)."""
-    from ..pipeline.runner import build_kg, lineage_rows
+    from ..pipeline.runner import build_kg, lineage_rows, release_caches
 
     done = store.processed_urls(spark)
     todo = pages.join(done, "url", "left_anti")
@@ -136,9 +136,14 @@ def run_incremental(
         todo = pages.join(F.broadcast(todo_urls), "url", "left_semi")
     if todo.isEmpty():
         return -1
-    triples = build_kg(spark, todo, entity_dict)
-    # mark every attempted url as processed — including zero-triple and
-    # non-English docs, otherwise they would be reprocessed forever
-    return store.commit_batch(
-        triples, todo.select("url"), lineage_rows(triples, "triples")
-    )
+    caches: list[DataFrame] = []
+    triples = build_kg(spark, todo, entity_dict, cache_registry=caches)
+    try:
+        # mark every attempted url as processed — including zero-triple and
+        # non-English docs, otherwise they would be reprocessed forever
+        return store.commit_batch(
+            triples, todo.select("url"), lineage_rows(triples, "triples")
+        )
+    finally:
+        # looped callers would otherwise accumulate cached blocks forever
+        release_caches(caches)

@@ -83,6 +83,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    changed = 0
     for _ in range(max_iter):
         # candidate = min(own component, min over neighbours' components)
         nbr_comp = comp.select(
@@ -109,4 +110,17 @@ def connected_components(
         comp = updated.drop("_changed").localCheckpoint()
         if changed == 0:
             break
+    if changed:
+        # silent non-convergence would be a wrong result for general
+        # graphs (alias clusters here are stars — diameter 2 — but this
+        # operator is reusable); surface it loudly.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); results may be incorrect — "
+            "raise max_iter for graphs of larger diameter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return comp

@@ -98,46 +98,54 @@ def _parse_tokens_into(url: str, html: bytes, cols: dict[str, list]) -> int:
     of the whole pipeline (measured: ~7x the regex parse itself).
 
     Malformed rows yield no tokens rather than failing the job
-    (recover-parse posture, ref: tools/ml/features.py:214-216).
+    (recover-parse posture, ref: tools/ml/features.py:214-216). The
+    whole per-document body — decode, font table, numeric attributes —
+    is guarded: ANY failure rolls back this document's partial rows and
+    yields zero tokens, so one bad real-world page can never kill a
+    corpus run (S2).
     """
+    col_lists = [cols[f.name] for f in TOKEN_SCHEMA.fields]
+    mark = len(col_lists[0])  # rollback point for this document
     try:
         s = html.decode("utf-8")
+        fonts = _parse_fonts(s)
+        (
+            c_url, c_page, c_block, c_line, c_word, c_text, c_hpos, c_vpos,
+            c_width, c_height, c_fid, c_italic, c_math, c_bold, c_size, c_link,
+        ) = col_lists
+        n = 0
+        unescape = _html.unescape
+        no_font = (None, None, None, None)
+        for page_n, page_body in RE_PAGE.findall(s):
+            p = int(page_n)
+            for block_n, block_body in RE_BLOCK.findall(page_body):
+                b = int(block_n)
+                for li, line_body in enumerate(RE_LINE.findall(block_body)):
+                    for wi, m in enumerate(RE_WORD.finditer(line_body)):
+                        fid, x, y, w, h, link, content = m.groups()
+                        italic, math, bold, size = fonts.get(fid, no_font)
+                        c_url.append(url)
+                        c_page.append(p)
+                        c_block.append(b)
+                        c_line.append(li)
+                        c_word.append(wi)
+                        c_text.append(unescape(content))
+                        c_hpos.append(float(x))
+                        c_vpos.append(float(y))
+                        c_width.append(float(w))
+                        c_height.append(float(h))
+                        c_fid.append(fid)
+                        c_italic.append(italic)
+                        c_math.append(math)
+                        c_bold.append(bold)
+                        c_size.append(size)
+                        c_link.append(link if link else None)
+                        n += 1
+        return n
     except Exception:
+        for lst in col_lists:
+            del lst[mark:]
         return 0
-    fonts = _parse_fonts(s)
-    (
-        c_url, c_page, c_block, c_line, c_word, c_text, c_hpos, c_vpos,
-        c_width, c_height, c_fid, c_italic, c_math, c_bold, c_size, c_link,
-    ) = (cols[f.name] for f in TOKEN_SCHEMA.fields)
-    n = 0
-    unescape = _html.unescape
-    no_font = (None, None, None, None)
-    for page_n, page_body in RE_PAGE.findall(s):
-        p = int(page_n)
-        for block_n, block_body in RE_BLOCK.findall(page_body):
-            b = int(block_n)
-            for li, line_body in enumerate(RE_LINE.findall(block_body)):
-                for wi, m in enumerate(RE_WORD.finditer(line_body)):
-                    fid, x, y, w, h, link, content = m.groups()
-                    italic, math, bold, size = fonts.get(fid, no_font)
-                    c_url.append(url)
-                    c_page.append(p)
-                    c_block.append(b)
-                    c_line.append(li)
-                    c_word.append(wi)
-                    c_text.append(unescape(content))
-                    c_hpos.append(float(x))
-                    c_vpos.append(float(y))
-                    c_width.append(float(w))
-                    c_height.append(float(h))
-                    c_fid.append(fid)
-                    c_italic.append(italic)
-                    c_math.append(math)
-                    c_bold.append(bold)
-                    c_size.append(size)
-                    c_link.append(link if link else None)
-                    n += 1
-    return n
 
 
 def _parse_tokens(url: str, html: bytes) -> list[tuple]:

@@ -28,10 +28,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# (?i) prefixes keep the JVM regexes interchangeable with their frozen
+# Python twins (RE_THM_START / RE_PROOF_BRACKET / RE_RESULT_NAME in
+# functions/text.py all carry re.IGNORECASE).
 NUM_RE = r"(([a-z]\.)?\d+(\.\d+)*)"
-THM_START_RE = r"^((open )?(\w+) ([a-z]\.)?\d+(\.\d+)*)"
-PROOF_BRACKET_RE = r"Proof. \[([^\]]+)\]"
-RESULT_NAME_RE = r"((\w+) ([a-z]\.)?\d+(\.\d+)*)"
+THM_START_RE = r"(?i)^((open )?(\w+) ([a-z]\.)?\d+(\.\d+)*)"
+PROOF_BRACKET_RE = r"(?i)Proof. \[([^\]]+)\]"
+RESULT_NAME_RE = r"(?i)((\w+) ([a-z]\.)?\d+(\.\d+)*)"
 PROOF_OF_RE = r"(?i)Proof of ((\w+) ([a-z]\.)?\d+(\.\d+)*)"
 
 _RESET = "\x00"  # lastThm reset sentinel (unnamed statement)

@@ -130,6 +130,18 @@ def build_triples(
     )
 
 
+def release_caches(registry: list[DataFrame]) -> None:
+    """Unpersist every intermediate collected in a ``cache_registry``.
+
+    Call AFTER the terminal action on the triples plan: long-lived
+    incremental sessions (streaming foreachBatch, run_incremental in a
+    loop) otherwise accumulate cached blocks for the session lifetime —
+    a slow memory/disk leak on a shared cluster."""
+    for df in registry:
+        df.unpersist()
+    registry.clear()
+
+
 def build_kg(
     spark: SparkSession,
     pages: DataFrame,
@@ -139,13 +151,25 @@ def build_kg(
     join_strategy: str = "broadcast",
     dico: DataFrame | None = None,
     model_file: str | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """pages + entity_dict -> triples DataFrame (lazy).
 
     Pass ``dico`` (pre-canonicalized (url, tag, pdf_to_canon)) to skip
     the canonicalization stage — e.g. from ``load_dico`` when the
     dictionary rows are already driver-resident.
+
+    Pass ``cache_registry`` (a list) to collect the cached stage
+    intermediates; hand it to ``release_caches`` after the terminal
+    action so looped callers don't leak cached blocks.
     """
+
+    def _cached(df: DataFrame) -> DataFrame:
+        df = df.cache()
+        if cache_registry is not None:
+            cache_registry.append(df)
+        return df
+
     # 4x the core count: enough slack for the scheduler to interleave
     # around document skew (a partition == a core leaves the stage wall
     # clock hostage to its single slowest partition); AQE coalesces the
@@ -168,7 +192,7 @@ def build_kg(
         # this plan: the one wide exchange is the pages repartition.
         from .extract import extract_spans
 
-        fused = extract_spans(pages, english_only=True, model_file=model_file).cache()
+        fused = _cached(extract_spans(pages, english_only=True, model_file=model_file))
         spans = fused.filter(F.col("kind") == "span").select(
             "url", "group", "label", "text", "own_name"
         )
@@ -179,21 +203,21 @@ def build_kg(
         # four triple branches — cache both so the extract/label chain
         # runs once, not once per branch. On a real cluster these are
         # the materialized intermediate Iceberg tables (SURVEY §4).
-        tokens = extract_tokens(pages, english_only=True).cache()
+        tokens = _cached(extract_tokens(pages, english_only=True))
         labeled = (
             label_tokens(tokens)
             if labeler == "window"
             else label_tokens_arrow(tokens, model_file=model_file)
         )
-        spans = resolve_span_names(assemble_spans(labeled)).cache()
+        spans = _cached(resolve_span_names(assemble_spans(labeled)))
         citations = paper_citations(tokens)
     # two consumers (intra + extra cite branches) — cache so the mention
     # mining UDF runs once over the span table
-    mentions = mine_mentions(spans).cache()
+    mentions = _cached(mine_mentions(spans))
     if dico is None:
         # the dictionary is broadcast-sized and consumed by two joins —
         # cache it so the CC canonicalization runs once
-        dico = canonicalize_dict(entity_dict).cache()
+        dico = _cached(canonicalize_dict(entity_dict))
     return build_triples(spans, mentions, citations, dico, join_strategy=join_strategy)
 
 

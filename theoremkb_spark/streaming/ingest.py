@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..io.catalog import CheckpointedTripleStore
 from ..pipeline.extract import PAGES_SCHEMA
-from ..pipeline.runner import build_kg, lineage_rows
+from ..pipeline.runner import build_kg, lineage_rows, release_caches
 
 
 def stream_pages_to_store(
@@ -61,8 +61,16 @@ def stream_pages_to_store(
         todo = batch_df.join(store.processed_urls(spark), "url", "left_anti")
         if todo.isEmpty():
             return
-        triples = build_kg(spark, todo, dico=dico)
-        store.commit_batch(triples, todo.select("url"), lineage_rows(triples, "triples"))
+        caches: list[DataFrame] = []
+        triples = build_kg(spark, todo, dico=dico, cache_registry=caches)
+        try:
+            store.commit_batch(
+                triples, todo.select("url"), lineage_rows(triples, "triples")
+            )
+        finally:
+            # one stream can run thousands of micro-batches: cached
+            # stage intermediates must not outlive their batch
+            release_caches(caches)
         committed["n"] += 1
 
     query = (
