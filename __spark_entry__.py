@@ -22,25 +22,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+_KG_N_DOCS = 60
+_KG_ORACLE_DIR = None  # populated by _ensure_kg_oracle
+
+
+def _ensure_kg_oracle() -> dict[str, str]:
+    """Materialize the sequential reference-semantics oracle's expected
+    triples/spans as parquet (theoremkb_spark/corpus/materialize.py) so
+    the KG queries get real DuckDB oracles. Idempotent and cheap; called
+    from both queries() and oracle_sql() so either evaluation order
+    finds the files in place."""
+    import os
+
+    global _KG_ORACLE_DIR
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".kg_oracle")
+    from theoremkb_spark.corpus.materialize import ensure_kg_oracle
+
+    paths = ensure_kg_oracle(out_dir, n_docs=_KG_N_DOCS)
+    _KG_ORACLE_DIR = out_dir
+    return paths
+
+
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full six-stage KG pipeline on the deterministic synthetic corpus
-    (the corpus is seeded and independent of sf_dir — no external data)."""
+    (the corpus is seeded and independent of sf_dir — no external data).
+    Oracle: the sequential reference-semantics extractor's triples,
+    materialized to parquet (see _ensure_kg_oracle)."""
     from theoremkb_spark.pipeline.extract import load_pages
     from theoremkb_spark.pipeline.runner import build_kg, load_entity_dict
 
-    n_docs = 60
-    pages = load_pages(spark, n_docs)
-    return build_kg(spark, pages, load_entity_dict(spark, n_docs))
+    pages = load_pages(spark, _KG_N_DOCS)
+    return build_kg(spark, pages, load_entity_dict(spark, _KG_N_DOCS)).orderBy(
+        "subj", "pred", "obj", "url"
+    )
 
 
 def _kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stages 1-2: extraction + window-function sequence labeling."""
+    """Stages 1-2: extraction + window-function sequence labeling.
+    Oracle: the sequential labeler-semantics span rows (parquet)."""
     from pyspark.sql import functions as F
 
     from theoremkb_spark.pipeline.extract import extract_tokens, load_pages
     from theoremkb_spark.pipeline.label import label_tokens
 
-    pages = load_pages(spark, 60)
+    pages = load_pages(spark, _KG_N_DOCS)
     labeled = label_tokens(extract_tokens(pages))
     return (
         labeled.filter(F.col("label") != "O")
@@ -57,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         name: fn for name, (fn, _sql) in {**QUERIES_CORE, **QUERIES_DOCS}.items()
     }
+    _ensure_kg_oracle()
     out["kg_triples"] = _kg_triples
     out["kg_spans"] = _kg_spans
     return out
@@ -66,8 +92,18 @@ def oracle_sql() -> dict[str, str]:
     from theoremkb_spark.queries import QUERIES_CORE
     from theoremkb_spark.queries_docs import QUERIES_DOCS
 
-    return {
+    out = {
         name: sql
         for name, (_fn, sql) in {**QUERIES_CORE, **QUERIES_DOCS}.items()
         if sql is not None
     }
+    paths = _ensure_kg_oracle()
+    out["kg_triples"] = (
+        f"SELECT subj, pred, obj, url, \"group\" FROM '{paths['triples']}' "
+        "ORDER BY subj, pred, obj, url"
+    )
+    out["kg_spans"] = (
+        f"SELECT url, \"group\", label, n_tokens FROM '{paths['spans']}' "
+        "ORDER BY url, \"group\""
+    )
+    return out

@@ -120,3 +120,39 @@ def test_window_path_regexes_case_insensitive(spark):
     assert got[1] == want[1] == "open problem 4"
     assert got[2] == want[2] == "theorem 2"
     assert got[3] == want[3] == "lemma 1.2"
+
+
+def test_triple_groups_match_sequential_oracle(spark, pages, entity_dict):
+    """Provenance groups (min span group per triple) must match the
+    sequential oracle — the surface behind the kg_triples DuckDB gate."""
+    from theoremkb_spark.corpus.oracle import oracle_triples_grouped
+
+    got = {
+        (r.subj, r.pred, r.obj, r.url): r.group
+        for r in build_kg(spark, pages, entity_dict).collect()
+    }
+    exp = oracle_triples_grouped(list(build_corpus(N_DOCS)), entity_dict_rows(N_DOCS))
+    assert got == exp
+
+
+def test_span_rows_match_sequential_oracle(spark, pages):
+    """Span-level (url, group, label, n_tokens) parity vs the sequential
+    labeler-semantics oracle — the surface behind the kg_spans gate."""
+    from pyspark.sql import functions as F
+
+    from theoremkb_spark.corpus.oracle import oracle_doc_spans
+
+    labeled = label_tokens(extract_tokens(pages))
+    got = {
+        (r.url, r.group, r.label, r.n_tokens)
+        for r in labeled.filter(F.col("label") != "O")
+        .groupBy("url", "group", "label")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .collect()
+    }
+    exp = {
+        (doc.url, g, lbl, n)
+        for doc, _t in build_corpus(N_DOCS)
+        for g, lbl, n in oracle_doc_spans(doc)
+    }
+    assert got == exp

@@ -1,0 +1,77 @@
+"""Materialize the sequential reference-semantics oracle as parquet.
+
+The driver's hard correctness gate compares each registered Spark query
+against a DuckDB oracle SQL string. The KG pipeline itself is not
+SQL-expressible (Arrow-UDF extraction, sequence labeling, connected
+components) — but its *expected output* is: this module runs the pure
+sequential oracle (corpus/oracle.py, mirroring
+Styling/tools/theoremdb/extract_graph.py) over the deterministic
+corpus and writes the expected triples/spans to parquet, so the
+``kg_triples`` / ``kg_spans`` oracles become plain
+``SELECT ... FROM '<parquet>' ORDER BY ...`` — putting the engine's
+actual product under the same rows+schema+hash gate as every other
+query.
+
+Everything is seeded and pure; regeneration is cheap (test-scale corpus)
+and atomic (tmp file + os.replace), so callers just invoke
+``ensure_kg_oracle`` and read the returned paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+N_DOCS_DEFAULT = 60
+SEED_DEFAULT = 42
+
+
+def ensure_kg_oracle(
+    out_dir: str, n_docs: int = N_DOCS_DEFAULT, seed: int = SEED_DEFAULT
+) -> dict[str, str]:
+    """Write ``oracle_triples.parquet`` / ``oracle_spans.parquet`` under
+    ``out_dir`` (always recomputed — the sequential oracle at test scale
+    costs well under a second, and stale files would silently detune the
+    gate). Returns {"triples": path, "spans": path}."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .generator import build_corpus, entity_dict_rows
+    from .oracle import oracle_doc_spans, oracle_triples_grouped
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = list(build_corpus(n_docs, seed))
+
+    grouped = oracle_triples_grouped(docs, entity_dict_rows(n_docs, seed))
+    trip_rows = sorted((s, p, o, u, g) for (s, p, o, u), g in grouped.items())
+    triples_tbl = pa.table(
+        {
+            "subj": [r[0] for r in trip_rows],
+            "pred": [r[1] for r in trip_rows],
+            "obj": [r[2] for r in trip_rows],
+            "url": [r[3] for r in trip_rows],
+            "group": pa.array([r[4] for r in trip_rows], type=pa.int64()),
+        }
+    )
+
+    span_rows = []
+    for doc, _targets in docs:
+        for g, label, n_tokens in oracle_doc_spans(doc):
+            span_rows.append((doc.url, g, label, n_tokens))
+    span_rows.sort()
+    spans_tbl = pa.table(
+        {
+            "url": [r[0] for r in span_rows],
+            "group": pa.array([r[1] for r in span_rows], type=pa.int64()),
+            "label": [r[2] for r in span_rows],
+            "n_tokens": pa.array([r[3] for r in span_rows], type=pa.int64()),
+        }
+    )
+
+    out = {}
+    for name, tbl in (("triples", triples_tbl), ("spans", spans_tbl)):
+        path = os.path.join(out_dir, f"oracle_{name}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)  # atomic: readers never see a partial file
+        out[name] = path
+    return out

@@ -75,20 +75,29 @@ def assemble_span_text(block: Block) -> str:
     return normalize_text(" ".join(parts))
 
 
-def oracle_doc_triples(doc: Doc, dico: dict[str, str]) -> set[tuple[str, str, str, str]]:
-    """(subj, pred, obj, url) triples for one document.
+def oracle_doc_triples_grouped(
+    doc: Doc, dico: dict[str, str]
+) -> dict[tuple[str, str, str, str], int]:
+    """(subj, pred, obj, url) -> min provenance group for one document.
 
     ``dico`` maps this doc's citation tags to (already canonicalized)
     target urls. Mirrors extract_links (extract_graph.py:232-288) with the
-    triple mapping frozen in FIXTURES.md §6.
+    triple mapping frozen in FIXTURES.md §6; the group value matches the
+    pipeline's ``min(group)`` dedup discipline (runner.build_triples),
+    with -1 for doc-wide paper-level citations.
     """
     url = doc.url
-    triples: set[tuple[str, str, str, str]] = set()
+    triples: dict[tuple[str, str, str, str], int] = {}
     if doc.lang != "en":
         return triples
 
+    def add(t: tuple[str, str, str, str], group: int) -> None:
+        g = triples.get(t)
+        if g is None or group < g:
+            triples[t] = group
+
     last_thm: str | None = None
-    out_res: set[str] = set()
+    out_res: dict[str, int] = {}  # lowercased own name -> min group
 
     def resolve(tag: str) -> str:
         return dico.get(tag, f"unresolved:{tag}")
@@ -100,28 +109,28 @@ def oracle_doc_triples(doc: Doc, dico: dict[str, str]) -> set[tuple[str, str, st
             own = target
             if target:
                 tl = target.lower()
-                out_res.add(tl)
-                triples.add((f"{url}#{tl}", "proved_in", url, url))
+                out_res[tl] = min(out_res.get(tl, group), group)
+                add((f"{url}#{tl}", "proved_in", url, url), group)
         else:
             thm = find_thm_start(text)
             last_thm = thm
             own = thm
             if thm:
                 tl = thm.lower()
-                out_res.add(tl)
+                out_res[tl] = min(out_res.get(tl, group), group)
                 if label == "definition":
-                    triples.add((f"{url}#{tl}", "defined_in", url, url))
+                    add((f"{url}#{tl}", "defined_in", url, url), group)
 
         _, intras, extras = find_ref_results(own, text)
         subj = f"{url}#{own.lower()}" if own else None
         if subj:
             for name in set(intras):
-                triples.add((subj, "cites", f"{url}#{name.lower()}", url))
+                add((subj, "cites", f"{url}#{name.lower()}", url), group)
             for tag, name in set(extras):
-                triples.add((subj, "cites", f"{resolve(tag)}#{name.lower()}", url))
+                add((subj, "cites", f"{resolve(tag)}#{name.lower()}", url), group)
 
-    for name in out_res:
-        triples.add((f"{url}#{name}", "statement_of", url, url))
+    for name, group in out_res.items():
+        add((f"{url}#{name}", "statement_of", url, url), group)
 
     # doc-wide paper-level citations (every cite anchor, spans or prose)
     for block in doc.blocks:
@@ -129,9 +138,44 @@ def oracle_doc_triples(doc: Doc, dico: dict[str, str]) -> set[tuple[str, str, st
             for tok in line:
                 if tok.link == "cite":
                     tag = RE_NONWORD.sub("", tok.text)
-                    triples.add((url, "cites", resolve(tag), url))
+                    add((url, "cites", resolve(tag), url), -1)
 
     return triples
+
+
+def oracle_doc_triples(doc: Doc, dico: dict[str, str]) -> set[tuple[str, str, str, str]]:
+    """(subj, pred, obj, url) triple set for one document."""
+    return set(oracle_doc_triples_grouped(doc, dico))
+
+
+def oracle_doc_spans(doc: Doc) -> list[tuple[int, str, int]]:
+    """[(group, label, n_tokens)] for one English document.
+
+    Sequential token-level mirror of the naive-rule labeler semantics
+    (naive_extractor.py:20-55): a line-initial bold/italic token whose
+    word pattern is a result label opens a span; a block-initial line
+    that does not open closes it. ``n_tokens`` counts every labeled
+    token, the opener included.
+    """
+    if doc.lang != "en":
+        return []
+    out: list[list] = []  # [group, label, n_tokens]
+    group = 0
+    state_open = False
+    for block in doc.blocks:
+        for li, line in enumerate(block.lines):
+            for wi, tok in enumerate(line):
+                if wi == 0:
+                    opened = tok.font in BOLD_OR_ITALIC and get_pattern(tok.text) in RESULT_LABELS
+                    if opened:
+                        group += 1
+                        out.append([group, get_pattern(tok.text), 0])
+                        state_open = True
+                    elif li == 0:
+                        state_open = False
+                if state_open:
+                    out[-1][2] += 1
+    return [(g, lbl, n) for g, lbl, n in out]
 
 
 class UnionFind:
@@ -168,15 +212,26 @@ def canonical_map(entity_rows: list[dict]) -> dict[str, str]:
     return {u: uf.find(u) for u in list(uf.parent)}
 
 
-def oracle_triples(docs_with_targets, entity_rows) -> set[tuple[str, str, str, str]]:
-    """Full-corpus oracle: canonicalize the dictionary, then per-doc triples."""
+def oracle_triples_grouped(
+    docs_with_targets, entity_rows
+) -> dict[tuple[str, str, str, str], int]:
+    """Full-corpus oracle with provenance groups: canonicalize the
+    dictionary, then per-doc grouped triples."""
     canon = canonical_map(entity_rows)
     dico_all: dict[str, dict[str, str]] = {}
     for row in entity_rows:
         dico_all.setdefault(row["url"], {})[row["tag"]] = canon.get(
             row["pdf_to"], row["pdf_to"]
         )
-    out: set[tuple[str, str, str, str]] = set()
+    out: dict[tuple[str, str, str, str], int] = {}
     for doc, _targets in docs_with_targets:
-        out |= oracle_doc_triples(doc, dico_all.get(doc.url, {}))
+        for t, g in oracle_doc_triples_grouped(doc, dico_all.get(doc.url, {})).items():
+            prev = out.get(t)
+            if prev is None or g < prev:
+                out[t] = g
     return out
+
+
+def oracle_triples(docs_with_targets, entity_rows) -> set[tuple[str, str, str, str]]:
+    """Full-corpus oracle: canonicalize the dictionary, then per-doc triples."""
+    return set(oracle_triples_grouped(docs_with_targets, entity_rows))
