@@ -30,19 +30,35 @@ RESULT_LABELS = (
     "proof",
 )
 
-# Keywords that can introduce a reference to a result
-# (ref: Styling/tools/config/__init__.py:60-76 LIST_RESULTS plus the
-# abbreviations appended at extract_graph.py:15).
+# Keywords that can introduce a reference to a result — the reference's
+# LIST_RESULTS verbatim, order included (alternation order is regex
+# semantics), plus the abbreviations appended at extract_graph.py:15.
+# Note this is deliberately WIDER than RESULT_LABELS (case/example/
+# problem/... can be referenced without being span labels) and does NOT
+# include "assumption" — the reference never mines assumption refs.
+# (ref: Styling/tools/config/__init__.py:60-80, extract_graph.py:15)
 RESULT_KEYWORDS = (
     "theorem",
     "claim",
+    "case",
     "conjecture",
     "corollary",
     "definition",
     "lemma",
+    "example",
+    "exercice",
+    "lemma",
+    "note",
+    "problem",
+    "property",
     "proposition",
+    "question",
+    "solution",
     "remark",
-    "assumption",
+    "fact",
+    "hypothesis",
+    "observation",
+    "construction",
     "thm.",
     "lem.",
     "prop.",
