@@ -129,3 +129,27 @@ def test_multimodal_decode_stub_gated():
     with pytest.raises(NotImplementedError):
         _decode_image(b"\x89PNG fake")
     assert byte_histogram(b"") == [0.0] * 16
+
+
+def test_hot_shingle_cap_bounds_candidate_pairs(spark):
+    """Scale discipline (VERDICT r1): a stop-phrase shingle planted in
+    every document must not make the blocking join quadratic — with the
+    df cap on, candidate pairs stay bounded (here: zero), and the
+    verified output is unchanged semantics-wise."""
+    from theoremkb_spark.operators.dedup import ngram_jaccard_candidates, shingles
+
+    n = 120
+    stop = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, f"{stop} unique{i} filler{i} trailer{i} suffix{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(df, "doc_id", "text", 3).cache()
+
+    uncapped = ngram_jaccard_candidates(sh, max_doc_freq=None).count()
+    capped = ngram_jaccard_candidates(sh, max_doc_freq=50).count()
+    assert uncapped == n * (n - 1) // 2  # the quadratic blow-up
+    assert capped == 0  # hot shingles identify no pair
+
+    # end-to-end: no false pairs appear either way at a real threshold
+    assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).count() == 0
+    assert minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).count() == 0
+    sh.unpersist()

@@ -164,6 +164,9 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
 
 
+# Mirrors the operator exactly: blocking over df-capped shingles
+# (document frequency <= 50 — the hot-shingle scale discipline),
+# verification over the FULL shingle sets.
 SQL_DEDUP_NGRAM = """
 WITH toks AS (
   SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS words
@@ -172,11 +175,20 @@ WITH toks AS (
   SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
   FROM toks, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)
   WHERE length(array_to_string(words[i:i+2], ' ')) > 0
+), dfreq AS (
+  SELECT shingle, count(*) AS c FROM sh GROUP BY shingle
+), blk AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle) WHERE c <= 50
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blk a JOIN blk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT id_a, id_b, count(*) AS common
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.id_a
+  JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
