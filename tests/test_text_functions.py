@@ -107,3 +107,77 @@ def test_refs_link_to_result_anchor_is_intra():
 def test_refs_duplicate_visited_once():
     _, intra, _ = find_ref_results(None, "Theorem 3.1 holds; also Theorem 3.1 again")
     assert intra == ["theorem 3.1"]
+
+
+class TestCleanThm:
+    """F8 — the reference's theorem-text cleaner, frozen from
+    thm_similarity/thmtools.py:64-70."""
+
+    CASES = [
+        ("Theorem 3.1", "theorem 3 1 "),
+        (r"let \begin{equation}x^2\end{equation} hold", None),  # parity-pinned below
+        ("A+B=C", "a + b = c"),
+        ("", ""),
+        ("MiXeD CaSe 42", "mixed case 42 "),
+        (r"see \cite{foo, bar} for details", None),
+        ("x_i^2 * y", "x _ i ^ 2 * y"),
+    ]
+
+    def test_table_driven(self):
+        from theoremkb_spark.functions.text import clean_thm
+
+        # structural invariants on every case
+        for raw, _ in self.CASES:
+            out = clean_thm(raw)
+            assert out == out.lower()
+            assert "\\cite" not in out and "\\begin" not in out
+        # pinned exact values where stated
+        for raw, want in self.CASES:
+            if want is not None:
+                assert clean_thm(raw) == want, (raw, clean_thm(raw))
+
+    def test_reference_parity(self):
+        """Exec the reference's own clean_thm and diff byte-for-byte."""
+        import re as _re
+
+        src = open("/root/reference/Styling/tools/thm_similarity/thmtools.py").read()
+        cut = src.index("# Clean a theorem")
+        end = src.index("# Get references", cut)
+        ns = {"re": _re, "str": str}
+        exec(compile(src[cut:end].replace("\t", "    "), "ref/thmtools.py", "exec"), ns)
+        from theoremkb_spark.functions.text import clean_thm
+
+        samples = [raw for raw, _ in self.CASES] + [
+            r"\label{thm:main} If $x>0$ then \ref{lem2} applies",
+            "Lemmas 2.1, 2.2 & 2.3 imply x<=y",
+        ]
+        for s in samples:
+            assert clean_thm(s) == ns["clean_thm"](s), s
+
+    def test_jvm_twin_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        from theoremkb_spark.functions.text import clean_thm
+        from theoremkb_spark.operators.textquality import clean_thm_col
+
+        samples = [raw for raw, _ in self.CASES] + [
+            r"\footnotesize{note, x} trailing",
+            "digits42inside and under_score",
+        ]
+        df = spark.createDataFrame([(s,) for s in samples], "text string")
+        got = [r.c for r in df.select(clean_thm_col(F.col("text")).alias("c")).collect()]
+        assert got == [clean_thm(s) for s in samples]
+
+    def test_duckdb_twin_identical(self):
+        import duckdb
+
+        from theoremkb_spark.functions.text import clean_thm
+        from theoremkb_spark.queries_docs import _CLEAN_THM_SQL
+
+        samples = [raw for raw, _ in self.CASES] + ["Proof of Theorem 5.2."]
+        con = duckdb.connect()
+        for s in samples:
+            got = con.execute(
+                f"SELECT {_CLEAN_THM_SQL} FROM (SELECT ? AS text)", [s]
+            ).fetchone()[0]
+            assert got == clean_thm(s), s

@@ -153,3 +153,40 @@ def test_hot_shingle_cap_bounds_candidate_pairs(spark):
     assert ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).count() == 0
     assert minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).count() == 0
     sh.unpersist()
+
+
+def test_sign_bucket_rotation_kills_correlated_skew(spark):
+    """VERDICT r1: leading-dims sign buckets collapse on correlated
+    embeddings (all-positive first dims -> one bucket). The seeded
+    random-projection bucket must spread the same cloud, and stay
+    deterministic across evaluations."""
+    import random
+
+    from theoremkb_spark.operators.similarity import sign_bucket
+
+    rng = random.Random(123)
+    # axis-correlated cloud: every leading dim strictly positive (old
+    # buckets collapse) but directions diverse in the remaining dims
+    # (a fair LSH must spread them)
+    rows = [
+        (i, [abs(rng.gauss(0.3, 0.2)) for _ in range(8)] + [rng.gauss(0.0, 1.0) for _ in range(56)])
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # old scheme (leading-dim signs) for reference: one bucket
+    from pyspark.sql import functions as F
+
+    lead = sum(
+        F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+        for i in range(6)
+    )
+    assert emb.select(lead.alias("b")).distinct().count() == 1
+
+    b = emb.select("vec_id", sign_bucket("embedding", bits=6).alias("b"))
+    sizes = [r.n for r in b.groupBy("b").count().withColumnRenamed("count", "n").collect()]
+    assert len(sizes) >= 8, "rotation must spread correlated vectors over many buckets"
+    assert max(sizes) <= 0.5 * 400, "no bucket may hold the majority"
+    # determinism: second evaluation identical
+    b2 = emb.select("vec_id", sign_bucket("embedding", bits=6).alias("b"))
+    assert b.exceptAll(b2).isEmpty()

@@ -101,6 +101,28 @@ RE_REFTO_IS_RESULT = re.compile(
 )
 
 
+RE_CLEAN_LATEX = re.compile(
+    r"\\[a-z]*(begin|end|cite|label|footnote|ref)[a-z]*\{[\w\s,\*:-]+\}(\[[^\]]+\])?"
+)
+RE_CLEAN_OPS = re.compile(r"([\+\*\^<>=_-])")
+RE_CLEAN_DIGITS = re.compile(r"([0-9]+)")
+RE_CLEAN_OTHER = re.compile(r"[^a-z0-9<>=\+\*\^_-]+")
+
+
+def clean_thm(thm) -> str:
+    """Theorem-text cleaner for similarity matching (F8) — the exact
+    regex chain of the reference (thm_similarity/thmtools.py:64-70):
+    lowercase, strip latex commands (\\begin{...}[...], \\cite{...},
+    ...), space-pad math operators and digit runs, collapse every other
+    character run to a single space."""
+    s = str(thm).lower()
+    s = RE_CLEAN_LATEX.sub(" ", s)
+    s = RE_CLEAN_OPS.sub(r" \1 ", s)
+    s = RE_CLEAN_DIGITS.sub(r" \1 ", s)
+    s = RE_CLEAN_OTHER.sub(" ", s)
+    return s
+
+
 def get_pattern(text: str) -> str:
     """Word shape: strip non-alnum, digits -> '@', lowercase.
 

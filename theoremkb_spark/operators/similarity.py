@@ -66,12 +66,36 @@ def cosine_topk(
     )
 
 
-def sign_bucket(vec_col, bits: int = 6):
-    """Deterministic coarse bucket: sign bits of the first `bits` dims."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+def random_projections(bits: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Seeded gaussian hyperplanes, rounded to 4dp so the exact same
+    double constants can be embedded in a DuckDB oracle (repr of a
+    rounded float round-trips to the identical double in both engines).
+    Deterministic: same (bits, dim, seed) -> same planes, forever."""
+    import random
+
+    rng = random.Random(f"ann-projections/{seed}")
+    return [[round(rng.gauss(0.0, 1.0), 4) for _ in range(dim)] for _ in range(bits)]
+
+
+def sign_bucket(vec_col, bits: int = 6, dim: int = 64, seed: int = 7):
+    """Deterministic LSH coarse bucket: sign of the dot product against
+    ``bits`` seeded random hyperplanes.
+
+    Round 1 used the sign bits of the leading dimensions — fine for
+    isotropic embeddings, but correlated dimensions (the common case for
+    learned embeddings) skew those buckets arbitrarily badly at scale.
+    A seeded random rotation is the standard fix: bucket occupancy
+    concentrates near uniform regardless of the embedding basis, and
+    determinism is kept via the fixed seed (no rand() at query time)."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
     expr = F.lit(0)
-    for i in range(bits):
-        expr = expr + F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+    for i, plane in enumerate(random_projections(bits, dim, seed)):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        expr = expr + F.when(dot >= 0, F.lit(1 << i)).otherwise(0)
     return expr
 
 

@@ -106,3 +106,19 @@ def quality_score(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """md5 of lowercased, whitespace-normalized text — the exact-dedup key."""
     return F.md5(F.encode(F.lower(norm_ws(col)), "UTF-8"))
+
+
+def clean_thm_col(col: Column) -> Column:
+    """JVM twin of ``functions.text.clean_thm`` (F8 — the reference's
+    theorem-text cleaner, thm_similarity/thmtools.py:64-70): lowercase,
+    strip latex commands, space-pad operators and digit runs, collapse
+    every other character run to a single space. Tested byte-identical
+    to the Python function (tests/test_text_functions.py)."""
+    s = F.lower(col)
+    s = F.regexp_replace(
+        s, r"\\[a-z]*(begin|end|cite|label|footnote|ref)[a-z]*\{[\w\s,\*:-]+\}(\[[^\]]+\])?", " "
+    )
+    s = F.regexp_replace(s, r"([\+\*\^<>=_-])", r" $1 ")
+    s = F.regexp_replace(s, r"([0-9]+)", r" $1 ")
+    s = F.regexp_replace(s, r"[^a-z0-9<>=\+\*\^_-]+", " ")
+    return s

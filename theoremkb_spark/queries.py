@@ -586,6 +586,60 @@ FROM events GROUP BY 1 ORDER BY k
 """
 
 
+def _nation_csv_path(sf_dir: str) -> str:
+    """Deterministic CSV materialization of the nation table (S5: the
+    reference's CSV source re-exercised through Spark's CSV reader).
+    Derived from the driver's own parquet — same rows, written once per
+    sf with duckdb COPY (ordered, quoted header)."""
+    import os
+
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".kg_oracle",
+        "csv",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "nation.csv")
+    if not os.path.exists(path):
+        import duckdb
+
+        tmp = path + ".tmp"
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{sf_dir}/nation.parquet' ORDER BY n_nationkey) "
+            f"TO '{tmp}' (HEADER, DELIMITER ',')"
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def q_scan_csv(spark, sf):
+    """S5 — CSV source: schema-explicit spark.read.csv over the
+    materialized nation CSV, aggregated per region. At scale this is the
+    same reader that ingests CSV drops from the reference's
+    graph_results_*.csv outputs (extract_graph.py:298-307)."""
+    path = _nation_csv_path(sf)
+    nation = spark.read.csv(
+        path,
+        schema="n_nationkey int, n_name string, n_regionkey int",
+        header=True,
+    )
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+SQL_SCAN_CSV = """
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 QUERIES_CORE = {
     "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
     "agg_topk_patterns": (q_agg_topk_patterns, SQL_TOPK_PATTERNS),
@@ -608,4 +662,5 @@ QUERIES_CORE = {
     "set_union_distinct": (q_set_union_distinct, SQL_UNION_DISTINCT),
     "filter_search": (q_filter_search, SQL_FILTER_SEARCH),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "scan_csv": (q_scan_csv, SQL_SCAN_CSV),
 }

@@ -259,10 +259,19 @@ def q_ann_bucketed(spark, sf):
 
 
 def _bucket_sql(bits: int = 6) -> str:
-    return " + ".join(
-        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(bits)
-    )
+    """DuckDB twin of similarity.sign_bucket: identical seeded random
+    hyperplanes (same rounded-double literals), left-to-right
+    list_dot_product matches Spark's aggregate(zip_with(...)) exactly."""
+    from .operators.similarity import random_projections
+
+    terms = []
+    for i, plane in enumerate(random_projections(bits, dim=64)):
+        lits = ", ".join(repr(x) for x in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [{lits}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 SQL_ANN_BUCKETED = f"""
@@ -296,7 +305,7 @@ def q_emb_near_dups(spark, sf):
 SQL_EMB_NEAR_DUPS = f"""
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         {" + ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(4))} AS bucket
+         {_bucket_sql(4)} AS bucket
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -332,12 +341,16 @@ def q_multimodal_features(spark, sf):
 def q_sim_tfidf_topk(spark, sf):
     """TF-IDF cosine best-match per probe doc — the reference's theorem
     matcher re-composed from DataFrame ops (M7/J7,
-    tools/thm_similarity/model_tfidf.py:22-65): explode->tf, df->idf,
-    sparse dot product via a term equi-join (blocking: only co-occurring
-    terms pair up), window argmax per probe. Probes = doc_id % 100 == 0."""
+    tools/thm_similarity/model_tfidf.py:22-65), tokenizing through the
+    reference's clean_thm chain (F8, thmtools.py:64-70): explode->tf,
+    df->idf, sparse dot product via a term equi-join (blocking: only
+    co-occurring terms pair up), window argmax per probe.
+    Probes = doc_id % 100 == 0."""
+    from .operators.textquality import clean_thm_col
+
     d = _t(spark, sf, "documents").select("doc_id", "text")
     terms = (
-        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        d.select("doc_id", F.explode(F.split(clean_thm_col(F.col("text")), " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -382,9 +395,19 @@ def q_sim_tfidf_topk(spark, sf):
     )
 
 
-SQL_SIM_TFIDF = """
+# clean_thm chain (thmtools.py:64-70) mirrored in RE2: the \\1
+# backreference syntax is DuckDB's, $1 is Spark's — same semantics.
+_CLEAN_THM_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text), "
+    r"'\\[a-z]*(begin|end|cite|label|footnote|ref)[a-z]*\{[\w\s,\*:-]+\}(\[[^\]]+\])?', ' ', 'g'), "
+    r"'([\+\*\^<>=_-])', ' \1 ', 'g'), "
+    r"'([0-9]+)', ' \1 ', 'g'), "
+    r"'[^a-z0-9<>=\+\*\^_-]+', ' ', 'g')"
+)
+
+SQL_SIM_TFIDF = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+  SELECT doc_id, unnest(string_split({_CLEAN_THM_SQL}, ' ')) AS term FROM documents
 ), terms AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks WHERE term <> ''
   GROUP BY doc_id, term
