@@ -28,19 +28,72 @@ _KG_ORACLE_DIR = None  # populated by _ensure_kg_oracle
 
 def _ensure_kg_oracle() -> dict[str, str]:
     """Materialize the sequential reference-semantics oracle's expected
-    triples/spans as parquet (theoremkb_spark/corpus/materialize.py) so
-    the KG queries get real DuckDB oracles. Idempotent and cheap; called
-    from both queries() and oracle_sql() so either evaluation order
-    finds the files in place."""
+    triples/spans plus the shared token-table fixture as parquet
+    (theoremkb_spark/corpus/materialize.py) so the KG queries get real
+    DuckDB oracles. Idempotent and cheap; called from both queries()
+    and oracle_sql() so either evaluation order finds the files in
+    place."""
     import os
 
     global _KG_ORACLE_DIR
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".kg_oracle")
-    from theoremkb_spark.corpus.materialize import ensure_kg_oracle
+    from theoremkb_spark.corpus.materialize import ensure_kg_oracle, ensure_token_table
 
     paths = ensure_kg_oracle(out_dir, n_docs=_KG_N_DOCS)
+    paths["tokens"] = ensure_token_table(out_dir, n_docs=_KG_N_DOCS)
     _KG_ORACLE_DIR = out_dir
     return paths
+
+
+def _kg_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokens -> per-token-feature-frame stage (reference
+    paper/features.py:82-178) over the materialized token table; the
+    DuckDB oracle recomputes the identical formulas from the same
+    parquet."""
+    from theoremkb_spark.pipeline.features import token_features
+
+    paths = _ensure_kg_oracle()
+    tokens = spark.read.parquet(paths["tokens"])
+    return token_features(tokens).orderBy("url", "page", "block", "line", "word")
+
+
+def _sql_token_features(tokens_path: str) -> str:
+    return f"""
+WITH t AS (SELECT * FROM '{tokens_path}'),
+f AS (
+  SELECT url, page, block, line, word,
+    count(*) OVER lw AS line_n_tokens,
+    round(min(hpos) OVER lw, 6) AS line_hpos_min,
+    round(max(hpos + width) OVER lw, 6) AS line_right_max,
+    round((sum(width::DECIMAL(18,2)) OVER lw)::DOUBLE / (count(*) OVER lw), 6) AS line_w_mean,
+    round(CASE WHEN count(*) OVER lw > 1 THEN sqrt(greatest(
+        ((sum(width::DECIMAL(18,2) * width::DECIMAL(18,2)) OVER lw)::DOUBLE
+         - (sum(width::DECIMAL(18,2)) OVER lw)::DOUBLE * (sum(width::DECIMAL(18,2)) OVER lw)::DOUBLE / (count(*) OVER lw))
+        / (count(*) OVER lw - 1), 0.0)) ELSE 0.0 END, 6) AS line_w_std,
+    count(*) OVER bw AS block_n_tokens,
+    (max(line) OVER bw - min(line) OVER bw + 1)::BIGINT AS block_n_lines,
+    round((sum(width::DECIMAL(18,2)) OVER bw)::DOUBLE / (count(*) OVER bw), 6) AS block_w_mean,
+    (word = 0) AS is_line_first,
+    (word = max(word) OVER lw) AS is_line_last,
+    round(vpos - lag(vpos) OVER sw, 6) AS dv_prev,
+    round(lead(hpos) OVER sw - (hpos + width), 6) AS dh_next,
+    round(CASE WHEN count(*) OVER dw <= 1 OR sqrt(greatest(
+        ((sum(width::DECIMAL(18,2) * width::DECIMAL(18,2)) OVER dw)::DOUBLE
+         - (sum(width::DECIMAL(18,2)) OVER dw)::DOUBLE * (sum(width::DECIMAL(18,2)) OVER dw)::DOUBLE / (count(*) OVER dw))
+        / (count(*) OVER dw - 1), 0.0)) = 0.0
+      THEN 0.0
+      ELSE (width - (sum(width::DECIMAL(18,2)) OVER dw)::DOUBLE / (count(*) OVER dw)) / sqrt(greatest(
+        ((sum(width::DECIMAL(18,2) * width::DECIMAL(18,2)) OVER dw)::DOUBLE
+         - (sum(width::DECIMAL(18,2)) OVER dw)::DOUBLE * (sum(width::DECIMAL(18,2)) OVER dw)::DOUBLE / (count(*) OVER dw))
+        / (count(*) OVER dw - 1), 0.0)) END, 4) AS width_z
+  FROM t
+  WINDOW lw AS (PARTITION BY url, page, block, line),
+         bw AS (PARTITION BY url, page, block),
+         dw AS (PARTITION BY url),
+         sw AS (PARTITION BY url ORDER BY page, block, line, word)
+)
+SELECT * FROM f ORDER BY url, page, block, line, word
+"""
 
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_kg_oracle()
     out["kg_triples"] = _kg_triples
     out["kg_spans"] = _kg_spans
+    out["kg_token_features"] = _kg_token_features
     return out
 
 
@@ -106,4 +160,5 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT url, \"group\", label, n_tokens FROM '{paths['spans']}' "
         "ORDER BY url, \"group\""
     )
+    out["kg_token_features"] = _sql_token_features(paths["tokens"])
     return out

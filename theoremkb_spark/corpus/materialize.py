@@ -75,3 +75,56 @@ def ensure_kg_oracle(
         os.replace(tmp, path)  # atomic: readers never see a partial file
         out[name] = path
     return out
+
+
+def ensure_token_table(
+    out_dir: str, n_docs: int = N_DOCS_DEFAULT, seed: int = SEED_DEFAULT
+) -> str:
+    """Materialize the long token table (English docs, the pipeline's
+    extraction semantics, produced by the pure per-doc parser — no
+    Spark) to ``tokens.parquet``. This is the shared input fixture for
+    the feature-frame query: the Spark operator AND the DuckDB oracle
+    both read this one file, so the gate checks the feature math, not
+    the parser."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..pipeline.extract import TOKEN_SCHEMA, _parse_tokens
+    from .generator import build_corpus, render_html
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "tokens.parquet")
+
+    names = [f.name for f in TOKEN_SCHEMA.fields]
+    cols: dict[str, list] = {n: [] for n in names}
+    for doc, _targets in build_corpus(n_docs, seed):
+        if doc.lang != "en":
+            continue
+        for row in _parse_tokens(doc.url, render_html(doc)):
+            for n, v in zip(names, row):
+                cols[n].append(v)
+
+    tbl = pa.table(
+        {
+            "url": pa.array(cols["url"], pa.string()),
+            "page": pa.array(cols["page"], pa.int32()),
+            "block": pa.array(cols["block"], pa.int32()),
+            "line": pa.array(cols["line"], pa.int32()),
+            "word": pa.array(cols["word"], pa.int32()),
+            "text": pa.array(cols["text"], pa.string()),
+            "hpos": pa.array(cols["hpos"], pa.float64()),
+            "vpos": pa.array(cols["vpos"], pa.float64()),
+            "width": pa.array(cols["width"], pa.float64()),
+            "height": pa.array(cols["height"], pa.float64()),
+            "font_id": pa.array(cols["font_id"], pa.string()),
+            "italic": pa.array(cols["italic"], pa.bool_()),
+            "math": pa.array(cols["math"], pa.bool_()),
+            "bold": pa.array(cols["bold"], pa.bool_()),
+            "font_size": pa.array(cols["font_size"], pa.float64()),
+            "link": pa.array(cols["link"], pa.string()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
