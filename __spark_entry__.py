@@ -45,6 +45,26 @@ def _ensure_kg_oracle() -> dict[str, str]:
     return paths
 
 
+def _kg_triples_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG pipeline with the TRAINED sequence model (averaged-
+    perceptron chain labeler, ml/crf.py) doing the labeling through the
+    Arrow inference stage — graded against the SAME sequential-oracle
+    triples parquet as the rule path: the learned model must reproduce
+    the reference semantics end-to-end."""
+    import os
+
+    from theoremkb_spark.ml.crf import ensure_crf_artifact
+    from theoremkb_spark.pipeline.extract import load_pages
+    from theoremkb_spark.pipeline.runner import build_kg, load_entity_dict
+
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".kg_oracle")
+    artifact = ensure_crf_artifact(out_dir)
+    pages = load_pages(spark, _KG_N_DOCS)
+    return build_kg(
+        spark, pages, load_entity_dict(spark, _KG_N_DOCS), model_file=artifact
+    ).orderBy("subj", "pred", "obj", "url")
+
+
 def _kg_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokens -> per-token-feature-frame stage (reference
     paper/features.py:82-178) over the materialized token table; the
@@ -137,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     _ensure_kg_oracle()
     out["kg_triples"] = _kg_triples
+    out["kg_triples_crf"] = _kg_triples_crf
     out["kg_spans"] = _kg_spans
     out["kg_token_features"] = _kg_token_features
     return out
@@ -156,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT subj, pred, obj, url, \"group\" FROM '{paths['triples']}' "
         "ORDER BY subj, pred, obj, url"
     )
+    out["kg_triples_crf"] = out["kg_triples"]
     out["kg_spans"] = (
         f"SELECT url, \"group\", label, n_tokens FROM '{paths['spans']}' "
         "ORDER BY url, \"group\""

@@ -1,0 +1,107 @@
+"""Learned sequence model (M1/M2): train a linear-chain averaged
+structured perceptron on the corpus gold tags, ship the pickled
+artifact to executors, Viterbi-apply it through the Arrow inference
+stage, and gate parity against the rule semantics at token, span-PR,
+and triple level (reference apply path: extractors/crf.py:89-132)."""
+
+import numpy as np
+import pytest
+
+from theoremkb_spark.corpus.generator import build_corpus, entity_dict_rows
+from theoremkb_spark.corpus.oracle import oracle_triples
+from theoremkb_spark.ml.crf import (
+    ChainPerceptron,
+    _training_docs,
+    ensure_crf_artifact,
+    train,
+)
+from theoremkb_spark.pipeline.extract import extract_tokens, load_pages
+from theoremkb_spark.pipeline.label import label_tokens, label_tokens_arrow
+from theoremkb_spark.pipeline.runner import build_kg, load_entity_dict
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    return ensure_crf_artifact(str(tmp_path_factory.mktemp("mlart")), n_docs=N_DOCS)
+
+
+def test_training_reaches_zero_errors(artifact):
+    import pickle
+
+    with open(artifact, "rb") as f:
+        art = pickle.load(f)
+    assert art["kind"] == "chain-averaged-perceptron"
+    assert art["train_errors"] == 0
+
+
+def test_heldout_generalization_exact():
+    """Docs NEVER seen in training decode to the exact gold tags —
+    the model learned the semantics, not the training set."""
+    art = train(n_docs=N_DOCS)
+    held = _training_docs(80, 42)[art["train_docs"]:]
+    assert held, "held-out slice must be non-empty"
+    m = ChainPerceptron(art["vocab"])
+    m.Wp, m.Wf, m.T = art["Wp"], art["Wf"], art["T"]
+    for pats, flags, gold in held:
+        ids = np.fromiter(
+            (art["vocab"].get(p, 0) for p in pats), dtype=np.int64, count=len(pats)
+        )
+        assert np.array_equal(m.viterbi(ids, flags), gold)
+
+
+def test_arrow_inference_with_trained_model_matches_rule_labels(spark, artifact):
+    """The M1 path end-to-end: artifact shipped via sc.addFile, loaded
+    once per executor, Viterbi inside applyInPandas — token-level
+    (label, group) equality with the rule labeler."""
+    spark.sparkContext.addFile(artifact)
+    import os
+
+    pages = load_pages(spark, N_DOCS)
+    tokens = extract_tokens(pages).cache()
+    cols = ["url", "page", "block", "line", "word", "label", "group"]
+    rule = label_tokens(tokens).select(*cols)
+    ml = label_tokens_arrow(tokens, model_file=os.path.basename(artifact)).select(*cols)
+    assert rule.exceptAll(ml).isEmpty() and ml.exceptAll(rule).isEmpty()
+    tokens.unpersist()
+
+
+def test_model_span_pr_vs_gold(spark, artifact):
+    """span_pr_report >= 0.95 gate (we hold it at 1.0)."""
+    from pyspark.sql import functions as F
+
+    from theoremkb_spark.operators.evaluate import span_pr_report
+
+    pages = load_pages(spark, N_DOCS)
+    tokens = extract_tokens(pages).cache()
+    spans = lambda df: (  # noqa: E731
+        df.filter(F.col("label") != "O")
+        .groupBy("url", "group", "label")
+        .agg(F.min(F.struct("page", "block", "line", "word")).alias("s"))
+        .select("url", "group", "label")
+    )
+    gold = spans(label_tokens(tokens))
+    pred = spans(label_tokens_arrow(tokens, model_file=artifact))
+    rows = {
+        r.label: r
+        for r in span_pr_report(pred, gold, keys=["url", "group", "label"]).collect()
+    }
+    micro = rows["__micro__"]
+    assert micro.precision >= 0.95 and micro.recall >= 0.95
+    assert micro.f1 == 1.0
+    tokens.unpersist()
+
+
+def test_model_pipeline_triples_match_oracle(spark, artifact):
+    """build_kg with the trained model == sequential-oracle triples —
+    the surface behind the kg_triples_crf CORRECTNESS row."""
+    pages = load_pages(spark, N_DOCS)
+    got = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in build_kg(
+            spark, pages, load_entity_dict(spark, N_DOCS), model_file=artifact
+        ).collect()
+    }
+    exp = oracle_triples(list(build_corpus(N_DOCS)), entity_dict_rows(N_DOCS))
+    assert got == exp

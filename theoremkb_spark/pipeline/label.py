@@ -117,14 +117,47 @@ def _resolve_artifact(name: str) -> str:
 
 
 def _get_model(artifact: str | None = None):
-    """Deterministic sequence scorer implementing the frozen rule
-    semantics, vectorized over the whole document (the Arrow batch).
-    Loaded once per executor process and memoized — the load cost (file
-    read, or unpickling a real CRF) is paid per executor, never per
-    batch."""
+    """Per-executor-memoized sequence scorer.
+
+    Three artifact kinds behind one interface (predict: pdf -> pdf with
+    label/group), each loaded ONCE per executor process (M1):
+
+    * ``None`` — the builtin deterministic rule scorer;
+    * ``*.json`` — rule parameters (label vocabulary) from a shipped file;
+    * ``*.pkl`` — a TRAINED linear-chain sequence model
+      (ml/crf.py ChainPerceptron): featurize, Viterbi-tag, BIO-decode to
+      (label, group) exactly as the reference CRF apply does
+      (Styling/src/lib/extractors/crf.py:89-132).
+    """
     key = artifact or "__builtin__"
     if key not in _MODEL_CACHE:
         import re
+
+        if artifact is not None and artifact.endswith(".pkl"):
+            import numpy as np
+
+            from ..ml.crf import decode_bio, load_artifact, predict_tags
+
+            ml_model = load_artifact(_resolve_artifact(artifact))
+
+            def predict_ml(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(ORDER, kind="mergesort").reset_index(drop=True)
+                tags = predict_tags(
+                    ml_model,
+                    pdf["text"].tolist(),
+                    pdf["bold"].fillna(False).tolist(),
+                    pdf["italic"].fillna(False).tolist(),
+                    pdf["word"].tolist(),
+                    pdf["line"].tolist(),
+                    pdf["block"].tolist(),
+                )
+                labels, groups = decode_bio(tags)
+                pdf["label"] = labels
+                pdf["group"] = np.asarray(groups, dtype="int64")
+                return pdf
+
+            _MODEL_CACHE[key] = predict_ml
+            return _MODEL_CACHE[key]
 
         if artifact is not None:
             import json

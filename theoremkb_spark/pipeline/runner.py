@@ -170,6 +170,13 @@ def build_kg(
             cache_registry.append(df)
         return df
 
+    if model_file and model_file.endswith(".pkl") and labeler == "fused":
+        # a pickled TRAINED sequence model replaces the labeling logic
+        # itself, which the fused rule pass cannot express — route
+        # through the Arrow inference stage (label_tokens_arrow), where
+        # the model is Viterbi-applied per document (M1).
+        labeler = "arrow"
+
     # 4x the core count: enough slack for the scheduler to interleave
     # around document skew (a partition == a core leaves the stage wall
     # clock hostage to its single slowest partition); AQE coalesces the
