@@ -34,6 +34,7 @@ HEADLINE = [
     "text_stats",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_cosine_topk",
 ]
 
