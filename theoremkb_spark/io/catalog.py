@@ -68,11 +68,58 @@ class CheckpointedTripleStore:
             )
         return spark.read.parquet(*paths)
 
+    def _compaction(self) -> dict:
+        path = os.path.join(self.out_dir, "url_ledger_compaction.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return {"upto_batch": -1, "path": None}
+
     def processed_urls(self, spark: SparkSession) -> DataFrame:
-        paths = [m["urls_path"] for m in self.manifests()]
+        """Union of the compacted url ledger (everything up to the last
+        compaction point) and the per-batch url files after it — the
+        read side stays O(batches since compaction), not O(history)."""
+        comp = self._compaction()
+        paths = [
+            m["urls_path"]
+            for m in self.manifests()
+            if m["batch_id"] > comp["upto_batch"]
+        ]
+        if comp["path"]:
+            paths.append(comp["path"])
         if not paths:
             return spark.createDataFrame([], "url string")
         return spark.read.parquet(*paths).select("url").distinct()
+
+    def compact_url_ledger(
+        self, spark: SparkSession, min_batches: int = 16
+    ) -> bool:
+        """Fold all committed per-batch url files into ONE compacted
+        parquet once ``min_batches`` have accumulated since the last
+        compaction (VERDICT r1: the anti-join ledger otherwise rereads
+        every historical batch per micro-batch — linear growth that a
+        long-lived incremental ingest cannot afford at 100 TB).
+
+        Crash-safe: the compacted file is written to a fresh
+        generation directory first, then the pointer JSON is swapped
+        with an atomic os.replace; readers see either the old or the
+        new generation, never a partial one. Old batch files stay on
+        disk (still referenced by their manifests for lineage) — only
+        the READ path narrows."""
+        comp = self._compaction()
+        pending = [m for m in self.manifests() if m["batch_id"] > comp["upto_batch"]]
+        if len(pending) < min_batches:
+            return False
+        upto = max(m["batch_id"] for m in pending)
+        gen_dir = os.path.join(self.out_dir, f"urls_compacted/gen={upto}")
+        self.processed_urls(spark).repartition(1).write.mode("overwrite").parquet(
+            gen_dir
+        )
+        tmp = os.path.join(self.out_dir, f".ledger-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"upto_batch": upto, "path": gen_dir}, f)
+        os.replace(tmp, os.path.join(self.out_dir, "url_ledger_compaction.json"))
+        return True
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         paths = [m["lineage_path"] for m in self.manifests() if m.get("lineage_path")]
@@ -141,9 +188,11 @@ def run_incremental(
     try:
         # mark every attempted url as processed — including zero-triple and
         # non-English docs, otherwise they would be reprocessed forever
-        return store.commit_batch(
+        batch_id = store.commit_batch(
             triples, todo.select("url"), lineage_rows(triples, "triples")
         )
     finally:
         # looped callers would otherwise accumulate cached blocks forever
         release_caches(caches)
+    store.compact_url_ledger(spark)
+    return batch_id

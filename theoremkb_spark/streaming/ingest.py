@@ -71,6 +71,9 @@ def stream_pages_to_store(
             # one stream can run thousands of micro-batches: cached
             # stage intermediates must not outlive their batch
             release_caches(caches)
+        # bound the anti-join ledger: O(batches since compaction),
+        # not O(stream history)
+        store.compact_url_ledger(spark)
         committed["n"] += 1
 
     query = (
