@@ -190,3 +190,59 @@ def test_sign_bucket_rotation_kills_correlated_skew(spark):
     # determinism: second evaluation identical
     b2 = emb.select("vec_id", sign_bucket("embedding", bits=6).alias("b"))
     assert b.exceptAll(b2).isEmpty()
+
+
+def test_frame_sample_explodes_rows_deterministically(spark):
+    from pyspark.sql import functions as F
+
+    from theoremkb_spark.operators.multimodal import frame_sample
+
+    import random as _random
+
+    rows = [
+        # aperiodic payload: slices at different offsets must differ
+        (1, _random.Random(0).randbytes(1024), ("video", None, None, 4000, None, "fake")),
+        (2, b"xy" * 100, ("video", None, None, 1500, None, "fake")),
+        (3, b"zz", ("video", None, None, 0, None, "fake")),  # zero duration -> no rows
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, payload binary, meta struct<kind:string,width:int,height:int,"
+        "duration_ms:int,sample_rate:int,codec:string>",
+    )
+    out = frame_sample(df, "id", "payload", "meta", every_ms=1000)
+    got = {(r.id, r.frame_idx, r.ts_ms, bytes(r.frame)) for r in out.collect()}
+    by_id = {}
+    for i, _fi, _ts, _f in got:
+        by_id[i] = by_id.get(i, 0) + 1
+    assert by_id == {1: 4, 2: 1}  # 4000ms/1000 = 4 frames; 1500ms -> 1; 0 -> none
+    # deterministic: second run identical
+    got2 = {(r.id, r.frame_idx, r.ts_ms, bytes(r.frame)) for r in out.collect()}
+    assert got == got2
+    # frames carry distinct byte slices in timestamp order
+    f1 = sorted((ts, f) for i, _x, ts, f in got if i == 1)
+    assert [ts for ts, _ in f1] == [0, 1000, 2000, 3000]
+    assert len({f for _, f in f1}) == 4
+
+
+def test_resize_images_fixed_contract(spark):
+    from theoremkb_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 10), (2, b""), (3, None)],
+        "id long, payload binary",
+    )
+    out = {r.id: r for r in resize_images(df, "id", "payload", 8, 4).collect()}
+    assert all(len(bytes(r.thumb)) == 8 * 4 for r in out.values())
+    assert out[2].thumb == out[3].thumb == b"\x00" * 32
+    assert bytes(out[1].thumb) != b"\x00" * 32
+    assert (out[1].width, out[1].height) == (8, 4)
+
+
+def test_video_decode_stub_gated():
+    import pytest as _pytest
+
+    from theoremkb_spark.operators.multimodal import _decode_video_frame
+
+    with _pytest.raises(NotImplementedError):
+        _decode_video_frame(b"fake-mp4", 0)

@@ -70,3 +70,130 @@ def extract_features(
             )
 
     return src.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+# ---- typed media metadata + frame sampling + resize ---------------------
+
+# the metadata struct that rides next to every opaque payload column
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("thumb", T.BinaryType(), False),
+    ]
+)
+
+
+def _decode_video_frame(payload: bytes, ts_ms: int):  # pragma: no cover - env-gated
+    try:
+        import av  # noqa: F401  (PyAV / ffmpeg bindings)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "video decode requires ffmpeg bindings; not in this image — "
+            "the deterministic byte-slice stand-in keeps the plumbing testable"
+        ) from exc
+    raise NotImplementedError("real path: av.open(BytesIO(payload)).seek(ts_ms)")
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    meta_col: str,
+    every_ms: int = 1000,
+) -> DataFrame:
+    """(id, payload, meta) -> one row per sampled frame.
+
+    The row-EXPLODING UDF batch shape of a video pipeline: input rows
+    are few and heavy, output rows are many and light, so the generator
+    yields per input batch without ever materializing all frames of a
+    batch in one DataFrame. The frame 'decode' is the deterministic
+    byte-slice stand-in (the real ffmpeg seek is env-gated above);
+    timestamps come from the typed metadata, so the sampling logic —
+    the part that IS Spark's concern — is real and tested.
+    """
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col).alias("payload"),
+        F.col(meta_col + ".duration_ms").alias("duration_ms"),
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for i, payload, dur in zip(
+                pdf["id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if payload is None or dur is None or dur <= 0:
+                    continue
+                payload = bytes(payload)
+                n_frames = max(int(dur) // every_ms, 1)
+                step = max(len(payload) // n_frames, 1)
+                for k in range(n_frames):
+                    ids.append(i)
+                    idxs.append(k)
+                    tss.append(k * every_ms)
+                    frames.append(payload[k * step : (k + 1) * step])
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return src.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, id_col: str, payload_col: str, width: int = 32, height: int = 32
+) -> DataFrame:
+    """(id, payload) -> (id, width, height, thumb): the image-resize
+    stage. Real path (PIL thumbnail) is env-gated via ``_decode_image``;
+    the stand-in emits a deterministic fixed-size byte grid sampled
+    from the payload so downstream schema/size contracts are exact."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+    n_out = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, thumbs = [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                if payload:
+                    arr = np.frombuffer(payload, dtype=np.uint8)
+                    pos = np.linspace(0, len(arr) - 1, n_out).astype(np.int64)
+                    thumb = arr[pos].tobytes()
+                else:
+                    thumb = b"\x00" * n_out
+                ids.append(i)
+                thumbs.append(thumb)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return src.mapInPandas(resize, schema=THUMB_SCHEMA)
