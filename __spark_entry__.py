@@ -2,10 +2,14 @@
 
 ``queries()`` exposes the operator inventory of SURVEY.md §2 re-expressed
 over the driver's testdata tables, each with a DuckDB oracle in
-``oracle_sql()``; the KG-pipeline queries (non-SQL-expressible: Arrow
-UDF extraction, sequence labeling, connected components) are registered
-without oracles and are gated instead by the pytest parity suite
-(tests/test_pipeline.py) against the reference-semantics oracle.
+``oracle_sql()``. Queries whose formulas aren't SQL-expressible (the KG
+pipeline's Arrow-UDF extraction / sequence labeling / connected
+components; xxhash64 MinHash; md5 SimHash; the byte-histogram
+featurizer) get *materialized* oracles: an independent sequential
+implementation of the same semantics (corpus/materialize.py,
+corpus/dedup_oracle.py) writes the expected rows to parquet and the
+oracle SQL is a plain SELECT over that file — every registered query
+sits under the driver's rows+schema+hash gate.
 """
 
 from __future__ import annotations
@@ -43,6 +47,36 @@ def _ensure_kg_oracle() -> dict[str, str]:
     paths["tokens"] = ensure_token_table(out_dir, n_docs=_KG_N_DOCS)
     _KG_ORACLE_DIR = out_dir
     return paths
+
+
+_DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _oracle_dir() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), ".kg_oracle")
+
+
+def _ensure_dedup_oracle(sf_dir: str = _DEFAULT_SF_DIR) -> dict[str, str]:
+    """Materialize the sequential dedup/multimodal oracles (pure-Python
+    twins of the hash-based operators — corpus/dedup_oracle.py) for
+    ``sf_dir``'s documents table. Called with the actual sf_dir from
+    each query fn (so local sweeps at other SFs stay green) and with
+    the driver's default from oracle_sql() (so either evaluation order
+    finds the files in place)."""
+    from theoremkb_spark.corpus.dedup_oracle import ensure_dedup_oracles
+
+    return ensure_dedup_oracles(sf_dir, _oracle_dir())
+
+
+def _with_dedup_oracle(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_dedup_oracle(sf_dir)
+        return fn(spark, sf_dir)
+
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def _kg_triples_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,6 +194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_triples_crf"] = _kg_triples_crf
     out["kg_spans"] = _kg_spans
     out["kg_token_features"] = _kg_token_features
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "multimodal_features"):
+        out[name] = _with_dedup_oracle(out[name])
     return out
 
 
@@ -183,4 +219,14 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY url, \"group\""
     )
     out["kg_token_features"] = _sql_token_features(paths["tokens"])
+    dpaths = _ensure_dedup_oracle()
+    out["dedup_minhash_lsh"] = (
+        f"SELECT id_a, id_b, jaccard FROM '{dpaths['minhash']}' ORDER BY id_a, id_b"
+    )
+    out["dedup_simhash"] = (
+        f"SELECT id_a, id_b, hamming FROM '{dpaths['simhash']}' ORDER BY id_a, id_b"
+    )
+    out["multimodal_features"] = (
+        f"SELECT id, n_bytes, f0, f1 FROM '{dpaths['multimodal']}' ORDER BY id"
+    )
     return out

@@ -246,3 +246,85 @@ def test_video_decode_stub_gated():
 
     with _pytest.raises(NotImplementedError):
         _decode_video_frame(b"fake-mp4", 0)
+
+
+# ---------------- sequential oracle twins (corpus/dedup_oracle.py) ----------
+
+
+def test_xxh64_twin_matches_spark(spark):
+    """The pure-Python XXH64 in dedup_oracle must be byte-exact with
+    Spark's xxhash64(lit(j)::int, s) for every tail-length class of the
+    algorithm (0..33+ bytes) and multibyte UTF-8."""
+    from theoremkb_spark.corpus.dedup_oracle import spark_xxhash64
+
+    cases = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "abcdefghi", "the quick brown fox", "x" * 31, "x" * 32, "x" * 33,
+        "y" * 100, "café théorème", "é" * 40, "snow☃man",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    for j in (0, 1, 7, 31):
+        got = [r[0] for r in df.select(F.xxhash64(F.lit(j), F.col("s"))).collect()]
+        assert got == [spark_xxhash64(j, s) for s in cases], f"seed-chain j={j}"
+
+
+@pytest.fixture(scope="module")
+def edge_docs(spark):
+    """Near-dup cluster plus the parser edge cases: null text, empty,
+    whitespace-only, fewer-than-n tokens, Java-vs-Python whitespace
+    (\\xa0 is NOT \\s in Java regex), multibyte UTF-8."""
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("quick", "swift")),
+        (2, BASE),
+        (3, "completely different words about spark shuffles and parquet files"),
+        (4, None),
+        (5, ""),
+        (6, " \t\n "),
+        (7, "two tokens"),
+        (8, "nbsp\xa0inside token run"),
+        (9, "théorème café naïve résumé encore une fois théorème café naïve"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_oracle_twin_matches_operator(spark, edge_docs):
+    from theoremkb_spark.corpus.dedup_oracle import minhash_lsh_expected
+
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(edge_docs, "doc_id", "text", threshold=0.12).collect()
+    )
+    docs = [(r.doc_id, r.text) for r in edge_docs.collect()]
+    assert got == minhash_lsh_expected(docs, threshold=0.12)
+    assert any(p[:2] == (0, 1) for p in got)  # planted near-dup survives
+
+
+def test_simhash_oracle_twin_matches_operator(spark, edge_docs):
+    from theoremkb_spark.corpus.dedup_oracle import simhash_expected
+
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups(edge_docs, "doc_id", "text", max_hamming=8).collect()
+    )
+    docs = [(r.doc_id, r.text) for r in edge_docs.collect()]
+    assert got == simhash_expected(docs, max_hamming=8)
+    assert (0, 2, 0) in got  # exact dup -> identical signature
+
+
+def test_multimodal_oracle_twin_matches_operator(spark, edge_docs):
+    from theoremkb_spark.corpus.dedup_oracle import multimodal_expected
+
+    payloads = edge_docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = extract_features(payloads, "doc_id", "payload")
+    got = sorted(
+        (r.id, r.n_bytes, r.f0, r.f1)
+        for r in feats.select(
+            "id",
+            "n_bytes",
+            F.round(F.element_at("features", 1), 6).alias("f0"),
+            F.round(F.element_at("features", 2), 6).alias("f1"),
+        ).collect()
+    )
+    docs = [(r.doc_id, r.text) for r in edge_docs.collect()]
+    assert got == multimodal_expected(docs)

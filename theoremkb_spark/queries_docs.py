@@ -202,8 +202,11 @@ ORDER BY id_a, id_b
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup candidates, exact-verified (rows-only check:
-    xxhash64 has no DuckDB twin; recall vs exact Jaccard is pytest-gated)."""
+    """MinHash+LSH near-dup candidates, exact-verified. Oracle: the
+    sequential pure-Python twin (corpus/dedup_oracle.py — XXH64
+    byte-exact vs Spark's xxhash64, pytest-gated), materialized to
+    parquet by __spark_entry__; recall vs exact Jaccard is additionally
+    pytest-gated."""
     d = _t(spark, sf, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.12
@@ -211,7 +214,9 @@ def q_dedup_minhash_lsh(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash near-dup pairs (rows-only; md5-bit-vote UDF)."""
+    """SimHash near-dup pairs (md5-bit-vote Arrow kernel). Oracle: the
+    sequential twin in corpus/dedup_oracle.py, materialized to parquet
+    by __spark_entry__."""
     d = _t(spark, sf, "documents")
     return simhash_near_dups(d, "doc_id", "text", max_hamming=8).orderBy(
         "id_a", "id_b"
@@ -320,9 +325,10 @@ ORDER BY id_a, id_b
 
 
 def q_multimodal_features(spark, sf):
-    """Binary-payload feature extraction plumbing (rows-only): documents
-    text re-encoded as an opaque binary payload, Arrow-batched byte-
-    histogram featurizer."""
+    """Binary-payload feature extraction plumbing: documents text
+    re-encoded as an opaque binary payload, Arrow-batched byte-histogram
+    featurizer. Oracle: the sequential twin in corpus/dedup_oracle.py,
+    materialized to parquet by __spark_entry__."""
     d = _t(spark, sf, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
