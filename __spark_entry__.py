@@ -182,6 +182,139 @@ def _kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_QUERY_IDS = list(range(10))
+_IVF_K, _IVF_NPROBE, _IVF_CELLS = 5, 4, 16
+
+
+def _ensure_ivf_centroids(sf_dir: str = _DEFAULT_SF_DIR):
+    """Train the deterministic IVF coarse quantizer on ``sf_dir``'s
+    embeddings and materialize the centroids to parquet — the shared
+    fixture both the Spark query and the DuckDB oracle read, so the gate
+    checks the SEARCH math (assignment, probing, scoring, top-k), not
+    the trainer (same precedent as the token-table fixture)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from theoremkb_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(
+        os.path.join(sf_dir, "embeddings.parquet"), k=_IVF_CELLS
+    )
+    path = os.path.join(_oracle_dir(), "ivf_centroids.parquet")
+    os.makedirs(_oracle_dir(), exist_ok=True)
+    tbl = pa.table(
+        {
+            "cell": pa.array(range(len(cents)), pa.int32()),
+            "cvec": pa.array(cents, pa.list_(pa.float64())),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path, cents
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (trained coarse quantizer +
+    nprobe cell search) — the data-dependent complement of the LSH
+    `ann_bucketed` path. Oracle: DuckDB recomputes assignment, probing,
+    and scoring from the same materialized centroid constants."""
+    import os
+
+    from theoremkb_spark.operators.similarity import ivf_topk
+
+    _path, cents = _ensure_ivf_centroids(sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_topk(
+        emb, "vec_id", "embedding", cents, _IVF_QUERY_IDS, k=_IVF_K, nprobe=_IVF_NPROBE
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ann_ivf(centroids_path: str) -> str:
+    ids = ",".join(map(str, _IVF_QUERY_IDS))
+    return f"""
+WITH c AS (SELECT cell, cvec FROM '{centroids_path}'),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (
+  SELECT e.vec_id, c.cell,
+         list_dot_product(c.cvec, c.cvec) - 2 * list_dot_product(e.v, c.cvec) AS m
+  FROM e CROSS JOIN c
+),
+ranked AS (
+  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY m, cell) AS rn
+  FROM m
+),
+assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked
+  WHERE rn <= {_IVF_NPROBE} AND vec_id IN ({ids})
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_dot_product(qe.v, ne.v)
+               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ne.v, ne.v))), 4) AS score
+  FROM probes p
+  JOIN assign a USING (cell)
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ne ON ne.vec_id = a.neighbor_id
+  WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, rank, neighbor_id, score::DOUBLE AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_IVF_K}
+ORDER BY query_id, rank
+"""
+
+
+def _ensure_stream_oracle() -> dict[str, str]:
+    from theoremkb_spark.corpus.stream_oracle import ensure_stream_oracle
+
+    return ensure_stream_oracle(_oracle_dir())
+
+
+def _stream_tmp() -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="tkb_stream_")
+
+
+def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a deterministic
+    multi-wave event feed (fresh checkpoint per run — the stream drains
+    with Trigger.AvailableNow and the emitted rows come back as a batch
+    DataFrame). Oracle: the sequential two-watermark twin
+    (corpus/stream_oracle.py), materialized to parquet."""
+    import os
+
+    from theoremkb_spark.corpus.stream_oracle import event_waves, write_event_waves
+    from theoremkb_spark.streaming.windows import windowed_event_counts
+
+    base = _stream_tmp()
+    write_event_waves(os.path.join(base, "in"), event_waves())
+    return windowed_event_counts(
+        spark, os.path.join(base, "in"), os.path.join(base, "ckpt")
+    ).orderBy("win_start", "event_type")
+
+
+def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState +
+    event-time timeout) over the same deterministic event feed. Oracle:
+    the sequential session twin, materialized to parquet."""
+    import os
+
+    from theoremkb_spark.corpus.stream_oracle import event_waves, write_event_waves
+    from theoremkb_spark.streaming.windows import sessionize_users
+
+    base = _stream_tmp()
+    write_event_waves(os.path.join(base, "in"), event_waves())
+    return sessionize_users(
+        spark, os.path.join(base, "in"), os.path.join(base, "ckpt")
+    ).orderBy("user_id", "session_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from theoremkb_spark.queries import QUERIES_CORE
     from theoremkb_spark.queries_docs import QUERIES_DOCS
@@ -196,6 +329,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_token_features"] = _kg_token_features
     for name in ("dedup_minhash_lsh", "dedup_simhash", "multimodal_features"):
         out[name] = _with_dedup_oracle(out[name])
+    _ensure_stream_oracle()
+    out["stream_windowed_counts"] = _stream_windowed_counts
+    out["stream_sessionize"] = _stream_sessionize
+    out["ann_ivf"] = _ann_ivf
     return out
 
 
@@ -229,4 +366,15 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_features"] = (
         f"SELECT id, n_bytes, f0, f1 FROM '{dpaths['multimodal']}' ORDER BY id"
     )
+    spaths = _ensure_stream_oracle()
+    out["stream_windowed_counts"] = (
+        f"SELECT win_start, win_end, event_type, n_events, sum_value "
+        f"FROM '{spaths['windowed']}' ORDER BY win_start, event_type"
+    )
+    out["stream_sessionize"] = (
+        f"SELECT user_id, session_start, session_end, n_events "
+        f"FROM '{spaths['sessions']}' ORDER BY user_id, session_start"
+    )
+    ivf_path, _cents = _ensure_ivf_centroids()
+    out["ann_ivf"] = _sql_ann_ivf(ivf_path)
     return out

@@ -58,3 +58,62 @@ def test_streaming_two_waves_match_oracle(spark, tmp_path):
     # wave 3: nothing new -> nothing committed
     n3 = stream_pages_to_store(spark, str(pages_dir), store, dico)
     assert n3 == 0
+
+
+# ------- event-time windows + stateful sessionization (streaming/windows.py)
+
+
+def test_windowed_counts_match_sequential_twin(spark, tmp_path):
+    """Watermarked tumbling-window agg over multi-wave files must equal
+    the two-watermark sequential twin exactly — including genuine
+    late-drops (stragglers land up to 9h behind a 2h watermark)."""
+    from theoremkb_spark.corpus.stream_oracle import (
+        event_waves,
+        windowed_counts_expected,
+        write_event_waves,
+    )
+    from theoremkb_spark.streaming.windows import windowed_event_counts
+
+    for seed in (11, 23):
+        waves = event_waves(seed=seed)
+        base = tmp_path / f"w{seed}"
+        write_event_waves(str(base / "in"), waves)
+        got = sorted(
+            (r.win_start, r.win_end, r.event_type, r.n_events, r.sum_value)
+            for r in windowed_event_counts(
+                spark, str(base / "in"), str(base / "ckpt")
+            ).collect()
+        )
+        exp = windowed_counts_expected(waves)
+        assert got == exp, f"seed {seed}"
+        # the watermark machinery did real work: some events were late-
+        # dropped and some open windows were withheld
+        n_all = sum(len(w) for w in waves)
+        assert sum(r[3] for r in got) < n_all
+
+
+def test_sessionize_matches_sequential_twin(spark, tmp_path):
+    """applyInPandasWithState sessionization (event-time timeout) must
+    equal the sequential session twin: gap-closed sessions, timeout-
+    flushed sessions, never a duplicate."""
+    from theoremkb_spark.corpus.stream_oracle import (
+        event_waves,
+        sessions_expected,
+        write_event_waves,
+    )
+    from theoremkb_spark.streaming.windows import sessionize_users
+
+    for seed in (11, 23):
+        waves = event_waves(seed=seed)
+        base = tmp_path / f"s{seed}"
+        write_event_waves(str(base / "in"), waves)
+        got = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in sessionize_users(
+                spark, str(base / "in"), str(base / "ckpt")
+            ).collect()
+        )
+        exp = sessions_expected(waves)
+        assert got == exp, f"seed {seed}"
+        assert len(got) == len(set(got))  # exactly-once emission
+        assert all(s <= e for _, s, e, _ in got)

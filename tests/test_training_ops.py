@@ -248,6 +248,49 @@ def test_video_decode_stub_gated():
         _decode_video_frame(b"fake-mp4", 0)
 
 
+def test_ivf_topk_recall_on_clustered_vectors(spark, tmp_path):
+    """IVF with cells matching the true cluster structure must return
+    exactly the brute-force top-k for in-cluster queries, and stay
+    deterministic across evaluations."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from theoremkb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(5)
+    centers = [[10.0 if d == c * 2 else 0.0 for d in range(8)] for c in range(3)]
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append((i, [v + rng.gauss(0, 0.3) for v in centers[c]]))
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in r[1]] for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        path,
+    )
+    emb = spark.read.parquet(path)
+    cents = train_ivf_centroids(path, k=3, sample=90, iters=10)
+    qids = [0, 1, 2]
+    got = ivf_topk(emb, "vec_id", "embedding", cents, qids, k=5, nprobe=1)
+    brute = cosine_topk(emb, "vec_id", "embedding", qids, k=5)
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, brute.collect()))
+    assert g == sorted(map(tuple, got.collect()))  # deterministic re-eval
+
+
 # ---------------- sequential oracle twins (corpus/dedup_oracle.py) ----------
 
 

@@ -4,11 +4,14 @@
   zip_with/aggregate (no UDF, no Python). The baseline. Cost
   O(|queries| x |corpus| x dim): fine when the query set is small or the
   corpus is pre-filtered.
-* ``bucketed_ann_topk`` — the scale path: deterministic sign-bucket
-  coarse quantization (LSH family: hyperplanes aligned to the leading
-  dimensions), candidates only within the query's bucket. Turns the
+* ``bucketed_ann_topk`` — the data-oblivious scale path: deterministic
+  sign-bucket coarse quantization (LSH family: seeded random
+  hyperplanes), candidates only within the query's bucket. Turns the
   cross join into an equi-join on bucket — shuffle-friendly, prunes
   ~2^bits of the corpus per query.
+* ``ivf_topk`` — the data-dependent scale path: IVF cells from a
+  trained coarse quantizer (``train_ivf_centroids``), nprobe nearest
+  cells per query, candidates via an equi-join on cell id.
 
 All arithmetic in double with left-to-right aggregation order so a
 DuckDB oracle (list_dot_product on DOUBLE[]) reproduces values exactly.
@@ -126,6 +129,100 @@ def bucketed_ann_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.col("score").cast("double").alias("score"))
+    )
+
+
+def train_ivf_centroids(
+    emb_path: str,
+    k: int = 16,
+    sample: int = 256,
+    iters: int = 10,
+    round_to: int = 6,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: Lloyd k-means over the first
+    ``sample`` vectors by id (float64, evenly spaced init, fixed
+    iterations, empty clusters keep their centroid). Runs driver-side on
+    a bounded sample — at 100 TB this is the standard recipe too (train
+    on a sample, broadcast the centroids); only assignment distributes.
+
+    Final centroids are rounded to ``round_to`` dp so the exact same
+    double constants embed in parquet/SQL and both engines score with
+    identical numbers (repr of a rounded float round-trips)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    pairs = sorted(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )[:sample]
+    x = np.array([v for _, v in pairs], dtype=np.float64)
+    cent = x[np.linspace(0, len(x) - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in np.round(cent, round_to)]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every vector to its
+    nearest coarse centroid (broadcast join against the tiny centroid
+    table — one pass, JVM-only dot products), probe the query's
+    ``nprobe`` nearest cells, and score candidates only within those
+    cells (equi-join on cell id — never all-pairs).
+
+    The complement of the LSH path (``bucketed_ann_topk``): data-
+    dependent cells from a trained quantizer instead of data-oblivious
+    hyperplanes. Nearest-cell metric is c.c - 2 x.c (argmin-equivalent
+    to L2, skips the per-row x.x), computed left-to-right so a DuckDB
+    oracle (list_dot_product over the same rounded centroid constants)
+    reproduces every value bit-exactly."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, row) for i, row in enumerate(centroids)], "cell int, cvec array<double>"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    m = _dot(F.col("cvec"), F.col("cvec")) - 2 * _dot(F.col("_v"), F.col("cvec"))
+    scored_cells = (
+        emb.select(F.col(id_col).alias("_id"), v.alias("_v"))
+        .join(F.broadcast(cdf))
+        .withColumn("_m", m)
+    )
+    w_assign = Window.partitionBy("_id").orderBy(F.asc("_m"), F.asc("cell"))
+    ranked = scored_cells.withColumn("_rn", F.row_number().over(w_assign))
+    assigned = ranked.filter(F.col("_rn") == 1).select(
+        F.col("_id").alias("neighbor_id"), "cell"
+    )
+    probes = (
+        ranked.filter(F.col("_id").isin(query_ids) & (F.col("_rn") <= nprobe))
+        .select(F.col("_id").alias("query_id"), "cell")
+    )
+    e = emb.select(F.col(id_col).alias("_eid"), v.alias("_ev"))
+    cand = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(e.select(F.col("_eid").alias("query_id"), F.col("_ev").alias("qv")), "query_id")
+        .join(e.select(F.col("_eid").alias("neighbor_id"), F.col("_ev").alias("cv")), "neighbor_id")
+        .transform(lambda df: with_cosine(df, "qv", "cv"))
+        .withColumn("score", F.round(F.col("cosine"), round_to))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.col("score").cast("double").alias("score"))
     )
