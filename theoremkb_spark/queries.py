@@ -43,19 +43,40 @@ def _as_double(col, scale: int = 2):
 
 
 def q_agg_pricing_summary(spark, sf):
-    """TPC-H-Q1-style rollup (SURVEY A1/A4): multi-agg groupBy."""
+    """TPC-H-Q1-style rollup (SURVEY A1/A4): multi-agg groupBy with a
+    distinct-count.
+
+    Written as two aggregation phases — partial sums per (flag, status,
+    orderkey), then roll up with count(*) for n_orders — instead of
+    countDistinct alongside the sums: Catalyst plans the mixed
+    distinct/non-distinct form with an Expand that doubles every input
+    row through both agg stages, while the two-phase form map-side
+    combines on the fine key first (orderkey groups are tiny) and never
+    replays the row stream. Bit-identical output (decimal sums are
+    associative); measurably faster here and the shape that survives
+    100x row counts."""
     li = _t(spark, sf, "lineitem")
-    return (
+    pre = (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", "l_orderkey")
         .agg(
-            _as_double(F.sum(_money(F.col("l_quantity")))).alias("sum_qty"),
-            _as_double(F.sum(_money(F.col("l_extendedprice")))).alias("sum_base"),
-            _as_double(
-                F.sum(_money(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _money(F.col("l_discount"))))
-            ).alias("sum_disc"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum(_money(F.col("l_quantity"))).alias("q"),
+            F.sum(_money(F.col("l_extendedprice"))).alias("p"),
+            F.sum(
+                _money(F.col("l_extendedprice"))
+                * (F.lit(1).cast("decimal(18,4)") - _money(F.col("l_discount")))
+            ).alias("dp"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    return (
+        pre.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _as_double(F.sum("q")).alias("sum_qty"),
+            _as_double(F.sum("p")).alias("sum_base"),
+            _as_double(F.sum("dp")).alias("sum_disc"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
