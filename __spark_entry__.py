@@ -58,16 +58,62 @@ def _oracle_dir() -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), ".kg_oracle")
 
 
-def _ensure_dedup_oracle(sf_dir: str = _DEFAULT_SF_DIR) -> dict[str, str]:
+def _materialize_once(name: str, sf_dir: str | None, src_file: str, build):
+    """Marker-keyed materialization guard for the sf-dependent oracle
+    fixtures. Three call sites, three behaviors:
+
+    * query fn (``sf_dir`` = the run's actual dir): rebuild only when the
+      marker's (sf_dir, source mtime) differs — repeated invocations in
+      one sweep cost nothing;
+    * ``queries()`` registry fetch (``sf_dir`` = driver default): same —
+      also clears stale files a previous sweep at another SF left behind;
+    * ``oracle_sql()`` (``sf_dir`` = None): NEVER overwrite existing
+      files — the query fns are the authoritative materializers for the
+      run's SF, and fetching the SQL strings after the queries ran must
+      not clobber what they wrote; build at the default only when
+      nothing exists yet."""
+    import json
+    import os
+
+    marker = os.path.join(_oracle_dir(), f".{name}.marker.json")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = json.load(f)
+    if sf_dir is None:
+        if current is not None:
+            return
+        sf_dir = _DEFAULT_SF_DIR
+    src = os.path.join(sf_dir, src_file)
+    stamp = {"sf_dir": sf_dir, "src_mtime": os.path.getmtime(src)}
+    if current == stamp:
+        return
+    build(sf_dir)
+    os.makedirs(_oracle_dir(), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stamp, f)
+    os.replace(tmp, marker)
+
+
+def _ensure_dedup_oracle(sf_dir: str | None = _DEFAULT_SF_DIR) -> dict[str, str]:
     """Materialize the sequential dedup/multimodal oracles (pure-Python
     twins of the hash-based operators — corpus/dedup_oracle.py) for
-    ``sf_dir``'s documents table. Called with the actual sf_dir from
-    each query fn (so local sweeps at other SFs stay green) and with
-    the driver's default from oracle_sql() (so either evaluation order
-    finds the files in place)."""
+    ``sf_dir``'s documents table, guarded by ``_materialize_once``."""
+    import os
+
     from theoremkb_spark.corpus.dedup_oracle import ensure_dedup_oracles
 
-    return ensure_dedup_oracles(sf_dir, _oracle_dir())
+    _materialize_once(
+        "dedup",
+        sf_dir,
+        "documents.parquet",
+        lambda sf: ensure_dedup_oracles(sf, _oracle_dir()),
+    )
+    return {
+        name: os.path.join(_oracle_dir(), f"oracle_{name}.parquet")
+        for name in ("minhash", "simhash", "multimodal")
+    }
 
 
 def _with_dedup_oracle(fn):
@@ -186,34 +232,43 @@ _IVF_QUERY_IDS = list(range(10))
 _IVF_K, _IVF_NPROBE, _IVF_CELLS = 5, 4, 16
 
 
-def _ensure_ivf_centroids(sf_dir: str = _DEFAULT_SF_DIR):
+def _ensure_ivf_centroids(sf_dir: str | None = _DEFAULT_SF_DIR) -> str:
     """Train the deterministic IVF coarse quantizer on ``sf_dir``'s
     embeddings and materialize the centroids to parquet — the shared
     fixture both the Spark query and the DuckDB oracle read, so the gate
     checks the SEARCH math (assignment, probing, scoring, top-k), not
-    the trainer (same precedent as the token-table fixture)."""
+    the trainer (same precedent as the token-table fixture). Guarded by
+    ``_materialize_once``."""
     import os
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    def build(sf: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-    from theoremkb_spark.operators.similarity import train_ivf_centroids
+        from theoremkb_spark.operators.similarity import train_ivf_centroids
 
-    cents = train_ivf_centroids(
-        os.path.join(sf_dir, "embeddings.parquet"), k=_IVF_CELLS
-    )
-    path = os.path.join(_oracle_dir(), "ivf_centroids.parquet")
-    os.makedirs(_oracle_dir(), exist_ok=True)
-    tbl = pa.table(
-        {
-            "cell": pa.array(range(len(cents)), pa.int32()),
-            "cvec": pa.array(cents, pa.list_(pa.float64())),
-        }
-    )
-    tmp = path + ".tmp"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, path)
-    return path, cents
+        cents = train_ivf_centroids(
+            os.path.join(sf, "embeddings.parquet"), k=_IVF_CELLS
+        )
+        os.makedirs(_oracle_dir(), exist_ok=True)
+        tbl = pa.table(
+            {
+                "cell": pa.array(range(len(cents)), pa.int32()),
+                "cvec": pa.array(cents, pa.list_(pa.float64())),
+            }
+        )
+        tmp = _ivf_path() + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, _ivf_path())
+
+    _materialize_once("ivf", sf_dir, "embeddings.parquet", build)
+    return _ivf_path()
+
+
+def _ivf_path() -> str:
+    import os
+
+    return os.path.join(_oracle_dir(), "ivf_centroids.parquet")
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,9 +278,12 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scoring from the same materialized centroid constants."""
     import os
 
+    import pyarrow.parquet as pq
+
     from theoremkb_spark.operators.similarity import ivf_topk
 
-    _path, cents = _ensure_ivf_centroids(sf_dir)
+    path = _ensure_ivf_centroids(sf_dir)
+    cents = pq.read_table(path).column("cvec").to_pylist()
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ivf_topk(
         emb, "vec_id", "embedding", cents, _IVF_QUERY_IDS, k=_IVF_K, nprobe=_IVF_NPROBE
@@ -270,15 +328,37 @@ ORDER BY query_id, rank
 
 
 def _ensure_stream_oracle() -> dict[str, str]:
+    """Seed-fixed and sf-independent: skip when the files already exist."""
+    import os
+
+    paths = {
+        n: os.path.join(_oracle_dir(), f"oracle_stream_{n}.parquet")
+        for n in ("windowed", "sessions")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
     from theoremkb_spark.corpus.stream_oracle import ensure_stream_oracle
 
     return ensure_stream_oracle(_oracle_dir())
 
 
-def _stream_tmp() -> str:
-    import tempfile
+_STREAM_WORK_DIR = "/tmp/tkb_stream_work"
 
-    return tempfile.mkdtemp(prefix="tkb_stream_")
+
+def _stream_tmp() -> str:
+    """Fresh input+checkpoint dir per streaming query run (a reused
+    checkpoint would skip the already-seen files and emit nothing). The
+    previous run's dir is removed first — each fn fully drains its
+    stream before returning, so at most one work dir exists at a time
+    instead of leaking one per invocation."""
+    import os
+    import shutil
+    import uuid
+
+    shutil.rmtree(_STREAM_WORK_DIR, ignore_errors=True)
+    path = os.path.join(_STREAM_WORK_DIR, uuid.uuid4().hex[:8])
+    os.makedirs(path)
+    return path
 
 
 def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,6 +409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_token_features"] = _kg_token_features
     for name in ("dedup_minhash_lsh", "dedup_simhash", "multimodal_features"):
         out[name] = _with_dedup_oracle(out[name])
+    # registry fetch = run start: refresh the sf-dependent fixtures at the
+    # driver default (clears stale files a sweep at another SF left); the
+    # wrapped query fns re-materialize for their actual sf_dir if needed
+    _ensure_dedup_oracle(_DEFAULT_SF_DIR)
+    _ensure_ivf_centroids(_DEFAULT_SF_DIR)
     _ensure_stream_oracle()
     out["stream_windowed_counts"] = _stream_windowed_counts
     out["stream_sessionize"] = _stream_sessionize
@@ -356,7 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY url, \"group\""
     )
     out["kg_token_features"] = _sql_token_features(paths["tokens"])
-    dpaths = _ensure_dedup_oracle()
+    dpaths = _ensure_dedup_oracle(None)  # never clobber the run's fixtures
     out["dedup_minhash_lsh"] = (
         f"SELECT id_a, id_b, jaccard FROM '{dpaths['minhash']}' ORDER BY id_a, id_b"
     )
@@ -375,6 +460,5 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT user_id, session_start, session_end, n_events "
         f"FROM '{spaths['sessions']}' ORDER BY user_id, session_start"
     )
-    ivf_path, _cents = _ensure_ivf_centroids()
-    out["ann_ivf"] = _sql_ann_ivf(ivf_path)
+    out["ann_ivf"] = _sql_ann_ivf(_ensure_ivf_centroids(None))
     return out

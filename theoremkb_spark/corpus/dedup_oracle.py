@@ -32,7 +32,7 @@ from __future__ import annotations
 import hashlib
 import os
 from collections import Counter
-from decimal import ROUND_HALF_UP, Decimal, getcontext
+from decimal import ROUND_HALF_UP, Decimal, localcontext
 
 # --------------------------------------------------------------- XXH64
 # Pure-Python XXH64 (public algorithm, https://xxhash.com spec),
@@ -156,10 +156,11 @@ def doc_shingles(text: str | None, n: int = 3) -> set[str]:
 
 
 def _jaccard6(common: int, union: int) -> float:
-    getcontext().prec = 50
-    q = Decimal(common) / Decimal(union)
-    q = q.quantize(Decimal("1e-20"), rounding=ROUND_HALF_UP)
-    return float(q.quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+    with localcontext() as ctx:  # never leak prec into the process context
+        ctx.prec = 50
+        q = Decimal(common) / Decimal(union)
+        q = q.quantize(Decimal("1e-20"), rounding=ROUND_HALF_UP)
+        return float(q.quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
 
 
 # ----------------------------------------------------- sequential oracles

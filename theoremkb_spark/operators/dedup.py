@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textquality import fingerprint, norm_ws
+from .textquality import fingerprint
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -35,8 +35,9 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """-> (id, shingle): distinct word n-grams per document."""
-    toks = F.split(norm_ws(F.col(text_col)), " ")
+    """-> (id, shingle): distinct word n-grams per document (tokens =
+    whitespace-normalized split; sub-n-token documents contribute their
+    whole token string)."""
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' '), i, {n})))"
@@ -51,13 +52,15 @@ def capped_shingles(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_doc_freq``
     from the BLOCKING side only.
 
-    The scale discipline behind both Jaccard paths: a stop-phrase
-    shingle shared by millions of documents makes any shingle self-join
-    quadratic in that block, and a shingle present in 50+ documents
-    identifies no near-dup pair anyway (a true near-dup pair at
-    jaccard>=t shares many discriminative shingles). The hot set is by
-    construction tiny (few shingles exceed the cap) — broadcast
-    anti-join, no extra shuffle of the shingle table."""
+    The scale discipline: a stop-phrase shingle shared by millions of
+    documents makes any shingle self-join quadratic in that block, and a
+    shingle present in 50+ documents identifies no near-dup pair anyway
+    (a true near-dup pair at jaccard>=t shares many discriminative
+    shingles). This broadcast-anti-join form (hot set is tiny, no
+    shuffle of the shingle table) is used by the MinHash path, whose
+    next step re-shuffles by id regardless; ``ngram_jaccard_pairs``
+    implements the same cap inline via a count window instead, because
+    there the self-join reuses the window's shingle partitioning."""
     if max_doc_freq is None:
         return sh
     hot = (

@@ -151,9 +151,17 @@ def train_ivf_centroids(
     double constants embed in parquet/SQL and both engines score with
     identical numbers (repr of a rounded float round-trips)."""
     import numpy as np
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    # predicate pushdown keeps the driver read bounded by the sample
+    # (dense-id layout: ids < sample ARE the first `sample` by id); the
+    # full-scan fallback only triggers on sparse ids at tiny scale
+    dset = pads.dataset(emb_path, format="parquet")
+    t = dset.to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < sample
+    )
+    if t.num_rows < k:
+        t = dset.to_table(columns=["vec_id", "embedding"])
     pairs = sorted(
         zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
     )[:sample]

@@ -76,7 +76,11 @@ def q_agg_pricing_summary(spark, sf):
             _as_double(F.sum("p")).alias("sum_base"),
             _as_double(F.sum("dp")).alias("sum_disc"),
             F.sum("c").alias("n_rows"),
-            F.count(F.lit(1)).alias("n_orders"),
+            # count the ORDERKEY, not the group row: a NULL-orderkey
+            # group would otherwise be counted where count(DISTINCT
+            # l_orderkey) excludes NULLs (its sums still roll up above,
+            # exactly like the SQL)
+            F.count("l_orderkey").alias("n_orders"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
