@@ -85,7 +85,9 @@ def _materialize_once(name: str, sf_dir: str | None, src_file: str, build):
             return
         sf_dir = _DEFAULT_SF_DIR
     src = os.path.join(sf_dir, src_file)
-    stamp = {"sf_dir": sf_dir, "src_mtime": os.path.getmtime(src)}
+    # "ver" invalidates markers written before a fixture-set change
+    # (e.g. adding the linkfuzzy oracle to the dedup build)
+    stamp = {"sf_dir": sf_dir, "src_mtime": os.path.getmtime(src), "ver": 2}
     if current == stamp:
         return
     build(sf_dir)
@@ -112,7 +114,7 @@ def _ensure_dedup_oracle(sf_dir: str | None = _DEFAULT_SF_DIR) -> dict[str, str]
     )
     return {
         name: os.path.join(_oracle_dir(), f"oracle_{name}.parquet")
-        for name in ("minhash", "simhash", "multimodal")
+        for name in ("minhash", "simhash", "multimodal", "linkfuzzy")
     }
 
 
@@ -407,7 +409,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_triples_crf"] = _kg_triples_crf
     out["kg_spans"] = _kg_spans
     out["kg_token_features"] = _kg_token_features
-    for name in ("dedup_minhash_lsh", "dedup_simhash", "multimodal_features"):
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "multimodal_features",
+        "link_fuzzy_lsh",
+    ):
         out[name] = _with_dedup_oracle(out[name])
     # registry fetch = run start: refresh the sf-dependent fixtures at the
     # driver default (clears stale files a sweep at another SF left); the
@@ -450,6 +457,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["multimodal_features"] = (
         f"SELECT id, n_bytes, f0, f1 FROM '{dpaths['multimodal']}' ORDER BY id"
+    )
+    out["link_fuzzy_lsh"] = (
+        f"SELECT src, dst, jaccard FROM '{dpaths['linkfuzzy']}' ORDER BY src"
     )
     spaths = _ensure_stream_oracle()
     out["stream_windowed_counts"] = (

@@ -371,3 +371,52 @@ def test_multimodal_oracle_twin_matches_operator(spark, edge_docs):
     )
     docs = [(r.doc_id, r.text) for r in edge_docs.collect()]
     assert got == multimodal_expected(docs)
+
+
+def test_fuzzy_link_twin_matches_operator(spark, edge_docs):
+    """fuzzy_link_lsh == its sequential twin over the query's own key
+    derivation (link_fuzzy_keys), including the unicode/empty edge docs
+    — and a truncated-title mention still links back to its entity."""
+    from theoremkb_spark.corpus.dedup_oracle import (
+        LINK_MENTION_PREFIX,
+        fuzzy_link_expected,
+        link_fuzzy_keys,
+    )
+    from theoremkb_spark.pipeline.link import fuzzy_link_lsh
+
+    docs = [(r.doc_id, r.text) for r in edge_docs.collect()]
+    mention_rows, dict_rows = link_fuzzy_keys(docs)
+    mentions = spark.createDataFrame(mention_rows, "doc_id long, key string")
+    dictionary = spark.createDataFrame(dict_rows, "doc_id long, key string")
+    got = sorted(
+        (r.src, r.dst, r.jaccard)
+        for r in fuzzy_link_lsh(
+            mentions, dictionary, id_col="doc_id", text_col="key",
+            dict_id_col="doc_id", dict_text_col="key",
+        ).collect()
+    )
+    assert got == fuzzy_link_expected(mention_rows, dict_rows)
+    # doc 0's truncated mention is a genuinely fuzzy (j<1) self-link
+    self_links = {s: (d, j) for s, d, j in got if s == 0}
+    assert self_links and self_links[0][0] in (0, 2)  # 0 and 2 share BASE text
+    assert any(j < 1.0 for _, (_, j) in self_links.items()) or len(
+        dict_rows[0][1]
+    ) <= LINK_MENTION_PREFIX
+
+
+def test_char_shingles_twin(spark):
+    from theoremkb_spark.corpus.dedup_oracle import char_shingles_py
+    from theoremkb_spark.pipeline.link import char_shingles
+
+    cases = ["", "a", "ab", "abc", "abcd", "aaaa", "na\xefve caf\xe9", "x y"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "id long, key string"
+    )
+    got = {
+        i: set()
+        for i in range(len(cases))
+    }
+    for r in char_shingles(df, "id", "key").collect():
+        got[r.id].add(r.shingle)
+    for i, s in enumerate(cases):
+        assert got[i] == char_shingles_py(s), repr(s)

@@ -226,6 +226,105 @@ def minhash_lsh_expected(
     return out
 
 
+# --------------------------------------------- fuzzy entity linking twin
+# Frozen parameters of the link_fuzzy_lsh query (queries_docs imports
+# them from here so the Spark query and this twin can never drift).
+
+LINK_DICT_PREFIX = 64
+LINK_MENTION_PREFIX = 48
+LINK_N = 3
+LINK_NUM_HASHES = 24
+LINK_BANDS = 12
+LINK_THRESHOLD = 0.5
+
+
+def char_shingles_py(s: str | None, n: int = 3) -> set[str]:
+    """Twin of pipeline/link.py::char_shingles for one string: distinct
+    character n-grams; shorter-than-n strings contribute themselves
+    whole; empty strings contribute nothing."""
+    if not s:
+        return set()
+    upper = max(len(s) - (n - 1), 1)
+    return {s[i : i + n] for i in range(upper)}
+
+
+def fuzzy_link_expected(
+    mentions: list[tuple[int, str]],
+    dictionary: list[tuple[int, str]],
+    n: int = LINK_N,
+    num_hashes: int = LINK_NUM_HASHES,
+    bands: int = LINK_BANDS,
+    threshold: float = LINK_THRESHOLD,
+) -> list[tuple[int, int, float]]:
+    """Expected (src, dst, jaccard) rows of fuzzy_link_lsh: char-ngram
+    MinHash banding for candidates, exact full-set Jaccard verification,
+    per-mention argmax (jaccard desc, dst asc) over the threshold."""
+    rows = num_hashes // bands
+    msh = {i: char_shingles_py(t, n) for i, t in mentions}
+    dsh = {i: char_shingles_py(t, n) for i, t in dictionary}
+
+    hcache: dict[str, list[int]] = {}
+
+    def hashes(g: str) -> list[int]:
+        hv = hcache.get(g)
+        if hv is None:
+            hv = [spark_xxhash64(j, g) for j in range(num_hashes)]
+            hcache[g] = hv
+        return hv
+
+    def band_keys(grams: set[str]):
+        if not grams:
+            return []
+        sig = [min(hashes(g)[j] for g in grams) for j in range(num_hashes)]
+        return [
+            (b, tuple(sig[b * rows : (b + 1) * rows])) for b in range(bands)
+        ]
+
+    dict_buckets: dict[tuple[int, tuple[int, ...]], list[int]] = {}
+    for i, grams in dsh.items():
+        for key in band_keys(grams):
+            dict_buckets.setdefault(key, []).append(i)
+
+    out: list[tuple[int, int, float]] = []
+    for src in sorted(msh):
+        cands: set[int] = set()
+        for key in band_keys(msh[src]):
+            cands.update(dict_buckets.get(key, ()))
+        best: tuple[float, int] | None = None  # (-jaccard, dst) min = argmax
+        for dst in cands:
+            common = len(msh[src] & dsh[dst])
+            if common == 0:
+                continue
+            jac = _jaccard6(common, len(msh[src] | dsh[dst]))
+            if jac < threshold:
+                continue
+            if best is None or (-jac, dst) < best:
+                best = (-jac, dst)
+        if best is not None:
+            out.append((src, best[1], -best[0]))
+    return out
+
+
+def link_fuzzy_keys(
+    docs: list[tuple[int, str | None]]
+) -> tuple[list[tuple[int, str]], list[tuple[int, str]]]:
+    """The link_fuzzy_lsh query's key derivation, mirrored sequentially:
+    dictionary = ASCII-letter/space prefix (LINK_DICT_PREFIX chars,
+    lowercased) of every document; mentions = the shorter
+    LINK_MENTION_PREFIX prefix of the same key (the deterministic
+    'noisy mention' model — a truncated title)."""
+    import re
+
+    dict_side, mention_side = [], []
+    for i, t in docs:
+        key = re.sub(r"[^A-Za-z ]", "", t or "")[:LINK_DICT_PREFIX].lower()
+        if not key:
+            continue
+        dict_side.append((i, key))
+        mention_side.append((i, key[:LINK_MENTION_PREFIX]))
+    return mention_side, dict_side
+
+
 def _simhash64(text: str | None) -> int:
     """Unsigned 64-bit SimHash twin: md5 token hashes, per-occurrence
     bit votes, strictly-positive vote -> bit set."""
@@ -330,6 +429,16 @@ def ensure_dedup_oracles(sf_dir: str, out_dir: str) -> dict[str, str]:
         }
     )
 
+    mention_side, dict_side = link_fuzzy_keys(docs)
+    lf = fuzzy_link_expected(mention_side, dict_side)
+    linkfuzzy_tbl = pa.table(
+        {
+            "src": pa.array([r[0] for r in lf], pa.int64()),
+            "dst": pa.array([r[1] for r in lf], pa.int64()),
+            "jaccard": pa.array([r[2] for r in lf], pa.float64()),
+        }
+    )
+
     mm = multimodal_expected(docs)
     multimodal_tbl = pa.table(
         {
@@ -345,6 +454,7 @@ def ensure_dedup_oracles(sf_dir: str, out_dir: str) -> dict[str, str]:
         ("minhash", minhash_tbl),
         ("simhash", simhash_tbl),
         ("multimodal", multimodal_tbl),
+        ("linkfuzzy", linkfuzzy_tbl),
     ):
         path = os.path.join(out_dir, f"oracle_{name}.parquet")
         tmp = path + ".tmp"

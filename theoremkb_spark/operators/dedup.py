@@ -209,6 +209,25 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def banded_signatures(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, h0..h{bands*rows-1}) -> (id, band, sig): the banded-LSH
+    bucket keys. Two ids are candidates iff they share (band, sig) for
+    at least one band — the equi-join key both the dedup path and the
+    fuzzy entity-linking path block on."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                "sig"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -231,19 +250,7 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     sh = shingles(df, id_col, text_col, n).cache()
     sig = minhash_signatures(capped_shingles(sh, max_doc_freq), num_hashes)
-
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
-                "sig"
-            ),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    banded = banded_signatures(sig, bands, rows)
 
     a = banded.select(F.col("id").alias("id_a"), "band", "sig")
     b = banded.select(F.col("id").alias("id_b"), "band", "sig")

@@ -45,6 +45,104 @@ def link_extra_mentions(
     ).drop("pdf_to_canon", "tag")
 
 
+def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """-> (id, shingle): distinct character n-grams per string. Strings
+    shorter than ``n`` contribute themselves whole (the ``greatest(len -
+    (n-1), 1)`` branch); empty strings contribute nothing. JVM-only
+    (transform/sequence/substring) — no Python in the hot path."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> substring({text_col}, i, {n}))"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
+        )
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def fuzzy_link_lsh(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    id_col: str = "id",
+    text_col: str = "key",
+    dict_id_col: str = "id",
+    dict_text_col: str = "key",
+    n: int = 3,
+    num_hashes: int = 24,
+    bands: int = 12,
+    threshold: float = 0.5,
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Fuzzy entity linking: noisy mention strings -> best dictionary
+    entry, via blocking + MinHash-LSH candidate generation (north star:
+    the link stage's candidate generator when exact tag/title equality
+    fails — the reference's get_links.py:74-133 exact title join extended
+    to OCR-noisy titles).
+
+    Pipeline: character-``n``-gram shingles both sides -> ``num_hashes``
+    MinHash signatures (xxhash64, the engine-native family shared with
+    the dedup path) -> ``bands``-banded LSH bucket join for candidates ->
+    exact char-ngram Jaccard verification over the FULL shingle sets ->
+    per-mention argmax (highest jaccard, smallest dict id on ties) with a
+    ``threshold`` floor. Output: (src, dst, jaccard), one row per linked
+    mention.
+
+    Scale shape: the dictionary is a dimension table — with
+    ``broadcast_dict=True`` (default) BOTH the candidate bucket join and
+    the verification shingle join broadcast the dictionary side, so the
+    mention table is never shuffled; with a dictionary too large to
+    broadcast, pass False and AQE handles the (band, sig) bucket skew.
+    With rows = num_hashes/bands = 2, a true pair at jaccard 0.5 is
+    caught with p = 1-(1-0.5^2)^12 ~= 0.97, at 0.7 with p ~= 0.9998;
+    verification removes every false positive.
+    """
+    from ..operators.dedup import banded_signatures, minhash_signatures
+
+    rows = num_hashes // bands
+    msh = char_shingles(mentions, id_col, text_col, n)
+    dsh = char_shingles(dictionary, dict_id_col, dict_text_col, n)
+    hint = F.broadcast if broadcast_dict else (lambda df: df)
+
+    mbanded = banded_signatures(minhash_signatures(msh, num_hashes), bands, rows)
+    dbanded = banded_signatures(minhash_signatures(dsh, num_hashes), bands, rows)
+    candidates = (
+        mbanded.withColumnRenamed("id", "src")
+        .join(hint(dbanded.withColumnRenamed("id", "dst")), ["band", "sig"])
+        .select("src", "dst")
+        .distinct()
+    )
+
+    common = (
+        candidates.join(msh.select(F.col("id").alias("src"), "shingle"), "src")
+        .join(hint(dsh.select(F.col("id").alias("dst"), "shingle")), ["dst", "shingle"])
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    msizes = msh.groupBy("id").agg(F.count(F.lit(1)).alias("sz_a"))
+    dsizes = dsh.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
+    jac = (
+        F.col("common").cast("decimal(18,6)")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("decimal(18,6)")
+    )
+    verified = (
+        common.join(msizes.withColumnRenamed("id", "src"), "src")
+        .join(hint(dsizes.withColumnRenamed("id", "dst")), "dst")
+        .withColumn("jaccard", F.round(jac, 6).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("jaccard").desc(), F.col("dst"))
+    return (
+        verified.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("src", "dst", "jaccard")
+    )
+
+
 def link_paper_citations(
     citations: DataFrame, dico: DataFrame, strategy: str = "broadcast", salt: int = 8
 ) -> DataFrame:

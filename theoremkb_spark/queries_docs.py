@@ -474,6 +474,43 @@ ORDER BY src, dst
 """
 
 
+def q_link_fuzzy_lsh(spark, sf):
+    """Fuzzy entity linking with MinHash-LSH candidate generation (the
+    north-star link-stage blocking path; reference exact-title precedent
+    get_links.py:74-133): each document's ASCII-title prefix is the
+    dictionary entry; its shorter truncated prefix is the 'noisy
+    mention'; blocking = char-3-gram MinHash banding, verification =
+    exact Jaccard, link = per-mention argmax over a 0.5 floor. The
+    dictionary side is broadcast — the mention table never shuffles."""
+    from .corpus.dedup_oracle import (
+        LINK_DICT_PREFIX,
+        LINK_MENTION_PREFIX,
+        LINK_THRESHOLD,
+    )
+    from .pipeline.link import fuzzy_link_lsh
+
+    d = _t(spark, sf, "documents")
+    key = F.lower(
+        F.substring(
+            F.regexp_replace(F.col("text"), "[^A-Za-z ]", ""), 1, LINK_DICT_PREFIX
+        )
+    )
+    base = d.select("doc_id", key.alias("key")).filter(F.col("key") != "")
+    dictionary = base
+    mentions = base.select(
+        "doc_id", F.substring("key", 1, LINK_MENTION_PREFIX).alias("key")
+    )
+    return fuzzy_link_lsh(
+        mentions,
+        dictionary,
+        id_col="doc_id",
+        text_col="key",
+        dict_id_col="doc_id",
+        dict_text_col="key",
+        threshold=LINK_THRESHOLD,
+    ).orderBy("src")
+
+
 def q_diff_agreement(spark, sf):
     """Agreement diff between two independent labelers (M9 semantics,
     extractors/misc/aggreement.py:25-45): full confusion matrix of the
@@ -547,6 +584,7 @@ QUERIES_DOCS = {
     "multimodal_features": (q_multimodal_features, None),
     "sim_tfidf_topk": (q_sim_tfidf_topk, SQL_SIM_TFIDF),
     "link_title_match": (q_link_title_match, SQL_LINK_TITLE),
+    "link_fuzzy_lsh": (q_link_fuzzy_lsh, None),
     "diff_agreement": (q_diff_agreement, SQL_DIFF_AGREEMENT),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
 }
