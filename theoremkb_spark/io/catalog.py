@@ -60,8 +60,18 @@ class CheckpointedTripleStore:
         return 1 + max((m["batch_id"] for m in ms), default=-1)
 
     # -- read side ------------------------------------------------------
-    def read_triples(self, spark: SparkSession) -> DataFrame:
-        paths = [m["triples_path"] for m in self.manifests()]
+    def read_triples(
+        self, spark: SparkSession, as_of_batch: int | None = None
+    ) -> DataFrame:
+        """Union of the committed snapshots. ``as_of_batch`` is the
+        Iceberg time-travel read (`VERSION AS OF`): only snapshots with
+        batch_id <= as_of_batch are visible — a reproducible historical
+        view for audits and incremental-consumer restarts."""
+        paths = [
+            m["triples_path"]
+            for m in self.manifests()
+            if as_of_batch is None or m["batch_id"] <= as_of_batch
+        ]
         if not paths:
             return spark.createDataFrame(
                 [], "subj string, pred string, obj string, url string, group long"
