@@ -43,8 +43,11 @@ def _ensure_kg_oracle() -> dict[str, str]:
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".kg_oracle")
     from theoremkb_spark.corpus.materialize import ensure_kg_oracle, ensure_token_table
 
+    from theoremkb_spark.corpus.materialize import ensure_pagerank_oracle
+
     paths = ensure_kg_oracle(out_dir, n_docs=_KG_N_DOCS)
     paths["tokens"] = ensure_token_table(out_dir, n_docs=_KG_N_DOCS)
+    paths["pagerank"] = ensure_pagerank_oracle(out_dir, n_docs=_KG_N_DOCS)
     _KG_ORACLE_DIR = out_dir
     return paths
 
@@ -196,6 +199,33 @@ f AS (
 )
 SELECT * FROM f ORDER BY url, page, block, line, word
 """
+
+
+def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (fixed 10 power-iteration rounds, uniform dangling
+    redistribution) over the paper-level citation edges the pipeline
+    emits — the iterative-DataFrame graph-analytics surface over the
+    materialized KG. Oracle: the sequential dict/loop twin
+    (corpus/materialize.py::pagerank_expected) over the SAME oracle
+    triples parquet that gates kg_triples."""
+    from pyspark.sql import functions as F
+
+    from theoremkb_spark.operators.graph import pagerank
+    from theoremkb_spark.pipeline.extract import load_pages
+    from theoremkb_spark.pipeline.runner import build_kg, load_entity_dict
+
+    pages = load_pages(spark, _KG_N_DOCS)
+    triples = build_kg(spark, pages, load_entity_dict(spark, _KG_N_DOCS))
+    edges = (
+        triples.filter((F.col("pred") == "cites") & (F.col("group") == -1))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    return (
+        pagerank(edges)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
 
 
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_triples_crf"] = _kg_triples_crf
     out["kg_spans"] = _kg_spans
     out["kg_token_features"] = _kg_token_features
+    out["kg_pagerank"] = _kg_pagerank
     for name in (
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -448,6 +479,9 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY url, \"group\""
     )
     out["kg_token_features"] = _sql_token_features(paths["tokens"])
+    out["kg_pagerank"] = (
+        f"SELECT node, rank FROM '{paths['pagerank']}' ORDER BY node"
+    )
     dpaths = _ensure_dedup_oracle(None)  # never clobber the run's fixtures
     out["dedup_minhash_lsh"] = (
         f"SELECT id_a, id_b, jaccard FROM '{dpaths['minhash']}' ORDER BY id_a, id_b"

@@ -99,3 +99,20 @@ def test_span_pr_report_perfect_on_pipeline_paths(spark):
     ).select("url", "group", "label", "own_name")
     rep = {r.label: r for r in span_pr_report(fused, window).collect()}
     assert rep["__micro__"].f1 == 1.0
+
+
+def test_pagerank_star_and_dangling(spark):
+    """Star graph a,b,c -> hub (hub dangling): hub outranks the leaves,
+    ranks sum to 1, and the Spark loop matches the sequential twin."""
+    from theoremkb_spark.corpus.materialize import pagerank_expected
+    from theoremkb_spark.operators.graph import pagerank
+
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("a", "b")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df).collect()}
+    exp = dict(pagerank_expected(edges))
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["hub"] == max(got.values())

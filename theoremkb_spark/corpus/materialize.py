@@ -77,6 +77,68 @@ def ensure_kg_oracle(
     return out
 
 
+def pagerank_expected(
+    edges: list[tuple[str, str]], damping: float = 0.85, n_iter: int = 10
+) -> list[tuple[str, float]]:
+    """Sequential twin of operators/graph.py::pagerank — dict/loop power
+    iteration, same fixed rounds, same uniform dangling redistribution.
+    Float sums differ from Spark's only in association order (~1e-15);
+    both sides round to 6 decimals at the query boundary."""
+    e = [(s, d) for s, d in edges if s is not None and d is not None]
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    if n == 0:
+        return []
+    deg: dict[str, int] = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        sums = {v: 0.0 for v in nodes}
+        for s, d in e:
+            sums[d] += rank[s] / deg[s]
+        dangling = sum(rank[v] for v in nodes if v not in deg)
+        rank = {
+            v: (1.0 - damping) / n + damping * (sums[v] + dangling / n)
+            for v in nodes
+        }
+    return [(v, rank[v]) for v in nodes]
+
+
+def ensure_pagerank_oracle(
+    out_dir: str, n_docs: int = N_DOCS_DEFAULT, seed: int = SEED_DEFAULT
+) -> str:
+    """PageRank over the paper-level citation edges of the SAME oracle
+    triples the kg_triples gate uses (pred='cites', group=-1, distinct),
+    rounded to 6 decimals — the expected output of the kg_pagerank
+    query."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..corpus.dedup_oracle import _round6
+    from .generator import build_corpus, entity_dict_rows
+    from .oracle import oracle_triples_grouped
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = list(build_corpus(n_docs, seed))
+    grouped = oracle_triples_grouped(docs, entity_dict_rows(n_docs, seed))
+    edges = sorted(
+        {(s, o) for (s, p, o, u), g in grouped.items() if p == "cites" and g == -1}
+    )
+    pr = pagerank_expected(edges)
+    tbl = pa.table(
+        {
+            "node": [v for v, _ in pr],
+            "rank": pa.array([_round6(r) for _, r in pr], pa.float64()),
+        }
+    )
+    path = os.path.join(out_dir, "oracle_pagerank.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def ensure_token_table(
     out_dir: str, n_docs: int = N_DOCS_DEFAULT, seed: int = SEED_DEFAULT
 ) -> str:

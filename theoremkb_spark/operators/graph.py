@@ -39,6 +39,72 @@ def _driver_cc(edge_rows) -> list[tuple[str, str]]:
     return sorted((v, find(v)) for v in list(parent))
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """edges(src, dst) -> (node, rank): power-iteration PageRank with a
+    FIXED number of rounds (deterministic output, no convergence test in
+    the plan). Dangling-node mass (nodes with no out-edges) is
+    redistributed uniformly each round — ranks sum to 1.
+
+    Scale shape: per round, one join of the edge table against the rank
+    vector on ``src`` and one groupBy on ``dst`` — both hash-partitioned
+    on node id, so consecutive rounds reuse the same partitioning; the
+    only driver-side values are two scalars (node count, dangling mass).
+    ``localCheckpoint`` per round truncates the growing lineage exactly
+    as the CC loop does. The citation graph's hot target (one paper
+    drawing ~30% of all edges) is a reduce-side skew the map-side
+    partial aggregation of sum() absorbs.
+    """
+    e = edges.selectExpr(f"{src} as src", f"{dst} as dst").filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
+            )
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        dangling = (
+            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
