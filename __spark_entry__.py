@@ -228,6 +228,63 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COCITE_MAX_DF = 16  # hub papers above this indegree carry no coupling signal
+
+
+def _kg_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation coupling over the emitted KG: pairs of documents
+    citing the same canonical paper, with coupling strength = number of
+    shared targets. The self-join on the cited object is the classic
+    quadratic-skew trap (one hub paper draws ~30% of citations at
+    corpus scale), so objects with indegree > _COCITE_MAX_DF are
+    excluded via a count window BEFORE the join — same df-cap
+    discipline as the shingle blocking paths. Oracle: the identical
+    formula in DuckDB SQL over the oracle-triples parquet."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from theoremkb_spark.pipeline.extract import load_pages
+    from theoremkb_spark.pipeline.runner import build_kg, load_entity_dict
+
+    pages = load_pages(spark, _KG_N_DOCS)
+    triples = build_kg(spark, pages, load_entity_dict(spark, _KG_N_DOCS))
+    cites = (
+        triples.filter((F.col("pred") == "cites") & (F.col("group") == -1))
+        .select(F.col("subj").alias("doc"), F.col("obj").alias("target"))
+        .distinct()
+    )
+    capped = cites.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("target"))
+    ).filter(F.col("_df") <= _COCITE_MAX_DF)
+    a = capped.select(F.col("doc").alias("doc_a"), "target")
+    b = capped.select(F.col("doc").alias("doc_b"), "target")
+    return (
+        a.join(b, "target")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("strength"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_cocitation(triples_path: str) -> str:
+    return f"""
+WITH c AS (
+  SELECT DISTINCT subj AS doc, obj AS target FROM '{triples_path}'
+  WHERE pred = 'cites' AND "group" = -1
+),
+capped AS (
+  SELECT doc, target FROM (
+    SELECT doc, target, count(*) OVER (PARTITION BY target) AS df FROM c
+  ) WHERE df <= {_COCITE_MAX_DF}
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS strength
+FROM capped a JOIN capped b ON a.target = b.target AND a.doc < b.doc
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""
+
+
 def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full six-stage KG pipeline on the deterministic synthetic corpus
     (the corpus is seeded and independent of sf_dir — no external data).
@@ -440,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_spans"] = _kg_spans
     out["kg_token_features"] = _kg_token_features
     out["kg_pagerank"] = _kg_pagerank
+    out["kg_cocitation"] = _kg_cocitation
     for name in (
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -482,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_pagerank"] = (
         f"SELECT node, rank FROM '{paths['pagerank']}' ORDER BY node"
     )
+    out["kg_cocitation"] = _sql_cocitation(paths["triples"])
     dpaths = _ensure_dedup_oracle(None)  # never clobber the run's fixtures
     out["dedup_minhash_lsh"] = (
         f"SELECT id_a, id_b, jaccard FROM '{dpaths['minhash']}' ORDER BY id_a, id_b"

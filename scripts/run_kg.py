@@ -37,6 +37,21 @@ def main() -> None:
     )
     ap.add_argument("--warmup", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--join-strategy", default="broadcast", choices=["broadcast", "salted"])
+    ap.add_argument(
+        "--store",
+        action="store_true",
+        help="commit into the checkpointed triple store at --out instead of"
+        " plain parquet: resumable (already-committed urls are skipped via"
+        " the anti-join ledger), batched via --batch-size, snapshot-visible"
+        " only on manifest commit",
+    )
+    ap.add_argument(
+        "--batch-size",
+        type=int,
+        default=None,
+        help="with --store: cap each committed batch at this many documents"
+        " (default: everything pending in one batch)",
+    )
     args = ap.parse_args()
 
     import os
@@ -88,6 +103,48 @@ def main() -> None:
             dico=dico,
             model_file=model_file,
         ).write.mode("overwrite").format("noop").save()
+
+    if args.store:
+        # resumable checkpointed mode: each invocation drains what the
+        # ledger says is pending; a killed run re-processes only its
+        # uncommitted batch on retry (north rule: resume from checkpoint)
+        from theoremkb_spark.io.catalog import CheckpointedTripleStore, run_incremental
+
+        # run_incremental canonicalizes internally — hand it the raw rows
+        ents = spark.createDataFrame(
+            [
+                (r["url"], r["tag"], r["pdf_to"], r["title"], r["norm_title"])
+                for r in dict_rows
+            ],
+            schema="url string, tag string, pdf_to string, title string,"
+            " norm_title string",
+        )
+        store = CheckpointedTripleStore(args.out)
+        t0 = time.time()
+        batches = []
+        while True:
+            bid = run_incremental(spark, pages, ents, store, limit=args.batch_size)
+            if bid < 0:
+                break
+            batches.append(bid)
+            if args.batch_size is None:
+                break
+        wall = time.time() - t0
+        n = store.read_triples(spark).count()
+        print(
+            json.dumps(
+                {
+                    "docs": args.docs,
+                    "triples": n,
+                    "wall_s": round(wall, 2),
+                    "triples_per_sec": round(n / wall, 1) if wall > 0 else None,
+                    "labeler": args.labeler,
+                    "batches_committed": batches,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     t0 = time.time()
     triples = build_kg(

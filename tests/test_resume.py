@@ -141,3 +141,42 @@ def test_time_travel_read(spark, tmp_path):
         for r in store.read_triples(spark).collect()
     }
     assert v0 < now and now == _expected()
+
+
+def test_triple_compaction_preserves_reads_and_history(spark, tmp_path):
+    """compact_triples folds the per-batch files into one generation:
+    current reads are unchanged, time-travel still serves the original
+    snapshots, and later batches layer on top of the compacted gen."""
+    pages = load_pages(spark, N)
+    ents = load_entity_dict(spark, N)
+    store = CheckpointedTripleStore(str(tmp_path / "kg"))
+
+    run_incremental(spark, pages, ents, store, limit=8)
+    run_incremental(spark, pages, ents, store, limit=8)
+    before = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark).collect()
+    }
+    v0 = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark, as_of_batch=0).collect()
+    }
+    assert not store.compact_triples(spark, min_batches=3)  # below threshold
+    assert store.compact_triples(spark, min_batches=2)
+    after = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark).collect()
+    }
+    assert after == before
+    # time-travel bypasses the compacted generation
+    assert {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark, as_of_batch=0).collect()
+    } == v0
+    # a post-compaction batch layers on top of the compacted gen
+    run_incremental(spark, pages, ents, store)
+    final = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark).collect()
+    }
+    assert final == _expected()

@@ -60,23 +60,72 @@ class CheckpointedTripleStore:
         return 1 + max((m["batch_id"] for m in ms), default=-1)
 
     # -- read side ------------------------------------------------------
+    def _triple_compaction(self) -> dict:
+        path = os.path.join(self.out_dir, "triples_compaction.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return {"upto_batch": -1, "path": None}
+
     def read_triples(
         self, spark: SparkSession, as_of_batch: int | None = None
     ) -> DataFrame:
         """Union of the committed snapshots. ``as_of_batch`` is the
         Iceberg time-travel read (`VERSION AS OF`): only snapshots with
         batch_id <= as_of_batch are visible — a reproducible historical
-        view for audits and incremental-consumer restarts."""
+        view for audits and incremental-consumer restarts. Time-travel
+        reads always use the original per-batch files (kept on disk and
+        referenced by their manifests); current reads substitute the
+        compacted generation for everything up to the last compaction
+        point (see ``compact_triples``)."""
+        comp = (
+            self._triple_compaction()
+            if as_of_batch is None
+            else {"upto_batch": -1, "path": None}
+        )
         paths = [
             m["triples_path"]
             for m in self.manifests()
-            if as_of_batch is None or m["batch_id"] <= as_of_batch
+            if m["batch_id"] > comp["upto_batch"]
+            and (as_of_batch is None or m["batch_id"] <= as_of_batch)
         ]
+        if comp["path"]:
+            paths.append(comp["path"])
         if not paths:
             return spark.createDataFrame(
                 [], "subj string, pred string, obj string, url string, group long"
             )
         return spark.read.parquet(*paths)
+
+    def compact_triples(
+        self,
+        spark: SparkSession,
+        min_batches: int = 16,
+        target_partitions: int | None = None,
+    ) -> bool:
+        """Fold the committed per-batch triple files into one compacted
+        generation (Iceberg ``rewrite_data_files`` analog). At 100 TB an
+        incremental ingest commits thousands of small snapshots; without
+        compaction every consumer scan pays the per-file open/footer cost
+        and the driver pays O(files) listing. Crash-safe like the url
+        ledger: write the generation directory, then atomically swap the
+        pointer JSON; originals stay on disk so manifests and time-travel
+        reads are untouched — only the CURRENT read path narrows."""
+        comp = self._triple_compaction()
+        pending = [m for m in self.manifests() if m["batch_id"] > comp["upto_batch"]]
+        if len(pending) < min_batches:
+            return False
+        upto = max(m["batch_id"] for m in pending)
+        gen_dir = os.path.join(self.out_dir, f"triples_compacted/gen={upto}")
+        current = self.read_triples(spark)
+        if target_partitions:
+            current = current.repartition(target_partitions, F.col("url"))
+        current.write.mode("overwrite").parquet(gen_dir)
+        tmp = os.path.join(self.out_dir, f".tcomp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"upto_batch": upto, "path": gen_dir}, f)
+        os.replace(tmp, os.path.join(self.out_dir, "triples_compaction.json"))
+        return True
 
     def _compaction(self) -> dict:
         path = os.path.join(self.out_dir, "url_ledger_compaction.json")
@@ -205,4 +254,5 @@ def run_incremental(
         # looped callers would otherwise accumulate cached blocks forever
         release_caches(caches)
     store.compact_url_ledger(spark)
+    store.compact_triples(spark)
     return batch_id
