@@ -408,7 +408,14 @@ def test_char_shingles_twin(spark):
     from theoremkb_spark.corpus.dedup_oracle import char_shingles_py
     from theoremkb_spark.pipeline.link import char_shingles
 
-    cases = ["", "a", "ab", "abc", "abcd", "aaaa", "na\xefve caf\xe9", "x y"]
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefghij \xe9İ世"  # ascii + accents + CJK
+    cases = ["", "a", "ab", "abc", "abcd", "aaaa", "na\xefve caf\xe9", "x y"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30)))
+        for _ in range(60)
+    ]
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(cases)], "id long, key string"
     )
