@@ -90,7 +90,7 @@ def _materialize_once(name: str, sf_dir: str | None, src_file: str, build):
     src = os.path.join(sf_dir, src_file)
     # "ver" invalidates markers written before a fixture-set change
     # (e.g. adding the linkfuzzy oracle to the dedup build)
-    stamp = {"sf_dir": sf_dir, "src_mtime": os.path.getmtime(src), "ver": 2}
+    stamp = {"sf_dir": sf_dir, "src_mtime": os.path.getmtime(src), "ver": 3}
     if current == stamp:
         return
     build(sf_dir)

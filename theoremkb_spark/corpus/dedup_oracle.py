@@ -232,13 +232,19 @@ def minhash_lsh_expected(
 
 LINK_DICT_PREFIX = 64
 LINK_MENTION_PREFIX = 48
-LINK_N = 3
+# n=5 char-grams + 8 bands x 3 rows: measured on the sf0.1 documents,
+# the cross-document 5-gram Jaccard of English title prefixes has
+# median 0.078 / p99 0.202, giving an expected candidate fraction of
+# 0.84% under (r=3, b=8) — vs 32% under the naive (n=3, r=2, b=12),
+# which made the candidate join quadratic. A true truncated-title match
+# (j ~= 0.73) is still caught with p = 1-(1-0.73^3)^8 ~= 0.98.
+LINK_N = 5
 LINK_NUM_HASHES = 24
-LINK_BANDS = 12
+LINK_BANDS = 8
 LINK_THRESHOLD = 0.5
 
 
-def char_shingles_py(s: str | None, n: int = 3) -> set[str]:
+def char_shingles_py(s: str | None, n: int = LINK_N) -> set[str]:
     """Twin of pipeline/link.py::char_shingles for one string: distinct
     character n-grams; shorter-than-n strings contribute themselves
     whole; empty strings contribute nothing."""

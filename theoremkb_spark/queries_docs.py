@@ -483,8 +483,11 @@ def q_link_fuzzy_lsh(spark, sf):
     exact Jaccard, link = per-mention argmax over a 0.5 floor. The
     dictionary side is broadcast — the mention table never shuffles."""
     from .corpus.dedup_oracle import (
+        LINK_BANDS,
         LINK_DICT_PREFIX,
         LINK_MENTION_PREFIX,
+        LINK_N,
+        LINK_NUM_HASHES,
         LINK_THRESHOLD,
     )
     from .pipeline.link import fuzzy_link_lsh
@@ -507,6 +510,9 @@ def q_link_fuzzy_lsh(spark, sf):
         text_col="key",
         dict_id_col="doc_id",
         dict_text_col="key",
+        n=LINK_N,
+        num_hashes=LINK_NUM_HASHES,
+        bands=LINK_BANDS,
         threshold=LINK_THRESHOLD,
     ).orderBy("src")
 
