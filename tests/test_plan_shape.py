@@ -1,0 +1,93 @@
+"""Plan-shape regression gates: the scale discipline as assertions.
+
+SCALE.md's design claims are checkable on the physical plan — one wide
+exchange feeding the whole extract chain, broadcast dictionary joins,
+column-pruned + filter-pushed page scans, and no quadratic join
+operators anywhere. These tests freeze those properties so a future
+edit that silently drops a broadcast hint or widens the scan fails CI,
+not a 100 TB run.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchange_ids(plan: str) -> set[str]:
+    """Distinct physical hash exchanges (the tree printer repeats a
+    reused exchange once per consuming branch — dedup by plan_id)."""
+    return set(
+        re.findall(r"Exchange hashpartitioning\([^\n]*\[plan_id=(\d+)\]", plan)
+    )
+
+
+def test_kg_plan_shape(spark, tmp_path):
+    from theoremkb_spark.pipeline.extract import load_pages
+    from theoremkb_spark.pipeline.runner import build_kg, load_entity_dict
+
+    pages_path = str(tmp_path / "pages.parquet")
+    load_pages(spark, 24).write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    plan = _plan(build_kg(spark, pages, load_entity_dict(spark, 24)))
+
+    # page scan: pruned to exactly (url, html, lang), english filter pushed
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\][^\n]*", plan)
+    page_scans = [s for s in scans if "html" in s]
+    assert page_scans, plan
+    for s in page_scans:
+        cols = {c.split("#")[0] for c in s.split(",")}
+        assert cols == {"url", "html", "lang"}, cols
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+    # exactly ONE wide repartition (the url-hash exchange) feeds every
+    # branch; the only other hash exchanges are the final triple rollup
+    # and the tiny dico dedup
+    repart = {
+        pid
+        for pid in re.findall(
+            r"Exchange hashpartitioning\([^\n]*REPARTITION_BY_NUM[^\n]*\[plan_id=(\d+)\]",
+            plan,
+        )
+    }
+    assert len(repart) == 1, plan
+    assert len(_exchange_ids(plan)) <= 4, _exchange_ids(plan)
+
+    # dictionary joins broadcast; nothing quadratic anywhere
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_link_plan_broadcasts_dictionary(spark):
+    from theoremkb_spark.pipeline.link import fuzzy_link_lsh
+
+    mentions = spark.createDataFrame(
+        [(i, f"mention text number {i}") for i in range(50)], "id long, key string"
+    )
+    dictionary = spark.createDataFrame(
+        [(i, f"dictionary text number {i}") for i in range(50)], "id long, key string"
+    )
+    plan = _plan(fuzzy_link_lsh(mentions, dictionary))
+    # bucket join, verification join, and size join all broadcast the
+    # dictionary side; candidate generation is an equi bucket join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scan_pruning_on_docs_queries(spark):
+    """The text-stats query projects 3 derived columns from `text` —
+    the scan must not read the other document columns."""
+    from theoremkb_spark.queries_docs import q_text_stats
+
+    plan = _plan(q_text_stats(spark, "/root/testdata/sf0.001"))
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans, plan
+    for s in scans:
+        cols = {c.split("#")[0] for c in s.split(",")}
+        assert "html" not in cols and "embedding" not in cols, cols
