@@ -422,7 +422,7 @@ def _ensure_stream_oracle() -> dict[str, str]:
 
     paths = {
         n: os.path.join(_oracle_dir(), f"oracle_stream_{n}.parquet")
-        for n in ("windowed", "sessions")
+        for n in ("windowed", "sessions", "dedup")
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -484,6 +484,23 @@ def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded exactly-once dedup of an at-least-once event
+    feed (each wave replays rows of the previous one). Oracle: the
+    sequential two-watermark twin (corpus/stream_oracle.py), pinned
+    against Spark's lagged late-filter + state-eviction discipline."""
+    import os
+
+    from theoremkb_spark.corpus.stream_oracle import event_waves_dupes, write_event_waves
+    from theoremkb_spark.streaming.windows import dedup_events
+
+    base = _stream_tmp()
+    write_event_waves(os.path.join(base, "in"), event_waves_dupes())
+    return dedup_events(
+        spark, os.path.join(base, "in"), os.path.join(base, "ckpt")
+    ).orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from theoremkb_spark.queries import QUERIES_CORE
     from theoremkb_spark.queries_docs import QUERIES_DOCS
@@ -513,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_stream_oracle()
     out["stream_windowed_counts"] = _stream_windowed_counts
     out["stream_sessionize"] = _stream_sessionize
+    out["stream_dedup"] = _stream_dedup
     out["ann_ivf"] = _ann_ivf
     return out
 
@@ -562,6 +580,10 @@ def oracle_sql() -> dict[str, str]:
     out["stream_sessionize"] = (
         f"SELECT user_id, session_start, session_end, n_events "
         f"FROM '{spaths['sessions']}' ORDER BY user_id, session_start"
+    )
+    out["stream_dedup"] = (
+        f"SELECT event_id, ts_s, user_id, event_type, value "
+        f"FROM '{spaths['dedup']}' ORDER BY event_id"
     )
     out["ann_ivf"] = _sql_ann_ivf(_ensure_ivf_centroids(None))
     return out

@@ -117,3 +117,33 @@ def test_sessionize_matches_sequential_twin(spark, tmp_path):
         assert got == exp, f"seed {seed}"
         assert len(got) == len(set(got))  # exactly-once emission
         assert all(s <= e for _, s, e, _ in got)
+
+
+def test_stream_dedup_matches_sequential_twin(spark, tmp_path):
+    """Watermark-bounded dropDuplicates over the at-least-once feed ==
+    the sequential two-watermark twin, at two seeds; replays are
+    genuinely removed (output < input) and nothing unique is lost."""
+    import os
+
+    from theoremkb_spark.corpus.stream_oracle import (
+        dedup_expected,
+        event_waves_dupes,
+        write_event_waves,
+    )
+    from theoremkb_spark.streaming.windows import dedup_events
+
+    for seed in (11, 23):
+        waves = event_waves_dupes(seed=seed)
+        base = tmp_path / f"d{seed}"
+        write_event_waves(str(base / "in"), waves)
+        got = sorted(
+            (r.event_id, r.ts_s, r.user_id, r.event_type, r.value)
+            for r in dedup_events(
+                spark, str(base / "in"), str(base / "ckpt")
+            ).collect()
+        )
+        exp = dedup_expected(waves)
+        assert got == exp, f"seed {seed}"
+        n_input = sum(len(w) for w in waves)
+        assert len(got) < n_input  # replays removed
+        assert len({g[0] for g in got}) == len(got)  # event_ids unique

@@ -95,6 +95,48 @@ def write_event_waves(dir_path: str, waves) -> None:
         os.utime(path, (1_000_000 + i * 100, 1_000_000 + i * 100))
 
 
+def event_waves_dupes(
+    n_waves: int = 4, per_wave: int = 150, users: int = 8, seed: int = 11
+) -> list[list[tuple[int, int, int, str, float]]]:
+    """The same feed as ``event_waves`` plus at-least-once delivery:
+    each wave after the first replays ~20 rows of the previous wave
+    verbatim (same event_id/ts/payload). Some replays fall behind the
+    watermark by then (late-dropped), the rest are exact duplicates
+    (state-dropped) — both deduplication paths are exercised."""
+    rng = random.Random(seed * 7919 + 13)
+    waves = [list(w) for w in event_waves(n_waves, per_wave, users, seed)]
+    for w in range(1, n_waves):
+        replays = rng.sample(waves[w - 1], 20)
+        waves[w].extend(replays)
+    return waves
+
+
+def dedup_expected(
+    waves, delay_s: int = DELAY_S
+) -> list[tuple[int, int, int, str, float]]:
+    """Expected emitted rows of dedup_events under the same two-watermark
+    discipline as the windowed twin: batch b late-filters with the
+    watermark as of batch b-1, so a replay is either late-dropped
+    (below that watermark) or state-dropped (its key's state cannot have
+    been evicted yet, because eviction uses the same lagged threshold).
+    The seen-set therefore only ever needs to grow."""
+    wm_filter = 0
+    wm_evict = 0
+    seen: set[tuple[int, int]] = set()
+    out: list[tuple[int, int, int, str, float]] = []
+    for wave in waves:
+        for eid, t, user, typ, val in wave:
+            if wm_filter > t * 1000:
+                continue
+            if (eid, t) in seen:
+                continue
+            seen.add((eid, t))
+            out.append((eid, t, user, typ, val))
+        wm_filter = wm_evict
+        wm_evict = max(wm_evict, max(r[1] for r in wave) * 1000 - delay_s * 1000)
+    return sorted(out)
+
+
 def windowed_counts_expected(
     waves, window_s: int = WINDOW_S, delay_s: int = DELAY_S
 ) -> list[tuple[int, int, str, int, float]]:
@@ -197,6 +239,17 @@ def ensure_stream_oracle(out_dir: str, seed: int = 11) -> dict[str, str]:
         }
     )
 
+    dd = dedup_expected(event_waves_dupes(seed=seed))
+    dd_tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in dd], pa.int64()),
+            "ts_s": pa.array([r[1] for r in dd], pa.int64()),
+            "user_id": pa.array([r[2] for r in dd], pa.int64()),
+            "event_type": pa.array([r[3] for r in dd], pa.string()),
+            "value": pa.array([r[4] for r in dd], pa.float64()),
+        }
+    )
+
     ses = sessions_expected(waves)
     ses_tbl = pa.table(
         {
@@ -208,7 +261,11 @@ def ensure_stream_oracle(out_dir: str, seed: int = 11) -> dict[str, str]:
     )
 
     out = {}
-    for name, tbl in (("windowed", win_tbl), ("sessions", ses_tbl)):
+    for name, tbl in (
+        ("windowed", win_tbl),
+        ("sessions", ses_tbl),
+        ("dedup", dd_tbl),
+    ):
         path = os.path.join(out_dir, f"oracle_stream_{name}.parquet")
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)

@@ -1,8 +1,9 @@
-"""Event-time streaming operators: watermarked window aggregation and a
-custom stateful sessionizer (``applyInPandasWithState``).
+"""Event-time streaming operators: watermarked window aggregation, a
+custom stateful sessionizer (``applyInPandasWithState``), and
+watermark-bounded deduplication.
 
 The reference is batch-only, but a Common-Crawl-style event feed is the
-canonical late-data workload, so the engine ships the two idiomatic
+canonical late-data workload, so the engine ships the idiomatic
 Structured-Streaming shapes on top of the same file-wave ingestion used
 by streaming/ingest.py:
 
@@ -13,6 +14,9 @@ by streaming/ingest.py:
   as an ``applyInPandasWithState`` stateful operator (event-time
   timeout): a session closes when a later event exceeds the gap or when
   the watermark passes its timeout, never twice.
+* ``dedup_events`` — at-least-once delivery → exactly-once output via
+  ``dropDuplicates`` keyed on (event_id, event time); the watermark
+  bounds the dedup state to the delay horizon.
 
 Both run ``Trigger.AvailableNow`` to completion and return the emitted
 rows as a batch DataFrame, so the same entrypoints serve tests, the
@@ -94,6 +98,29 @@ def windowed_event_counts(
         "n_events",
         "sum_value",
     )
+
+
+def dedup_events(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    delay_s: int = 7201,
+    files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Watermark-bounded exactly-once event deduplication: an
+    at-least-once feed (replayed deliveries) becomes exactly-once
+    output via ``dropDuplicates`` keyed on (event_id, event time) under
+    a watermark. The event-time column in the dedup key is what BOUNDS
+    the state — the watermark evicts keys older than ``delay_s``, so
+    state is O(events per watermark horizon), not O(stream history):
+    the difference between a pipeline that runs for a day and one that
+    runs for a year."""
+    src = _event_stream(spark, input_dir, files_per_trigger)
+    deduped = src.withWatermark("ts", f"{delay_s} seconds").dropDuplicates(
+        ["event_id", "ts"]
+    )
+    out = _run_to_memory(deduped, checkpoint_dir)
+    return out.select("event_id", "ts_s", "user_id", "event_type", "value")
 
 
 _SESSION_OUT_SCHEMA = "user_id long, session_start long, session_end long, n_events long"
