@@ -116,3 +116,29 @@ def test_pagerank_star_and_dangling(spark):
         assert abs(got[v] - exp[v]) < 1e-12, v
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["hub"] == max(got.values())
+
+
+def test_asof_join_semantics(spark):
+    """Planted edges: exact-tie matches inclusively, earlier rows pick
+    the latest prior right row, no-prior-row keeps nulls, keys don't
+    leak across partitions."""
+    from theoremkb_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, "l1"), ("a", 20, "l2"), ("a", 5, "l0"), ("b", 50, "l3")],
+        "k string, ts long, lbl string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "r10"), ("a", 15, "r15"), ("b", 60, "r60")],
+        "k string, ts long, val string",
+    )
+    got = {
+        r.lbl: r.val_r
+        for r in asof_join(left, right, on="k", ts="ts", right_cols=["val"]).collect()
+    }
+    assert got == {
+        "l0": None,   # no right row at/before ts=5
+        "l1": "r10",  # exact tie matches inclusively
+        "l2": "r15",  # latest prior, not first
+        "l3": None,   # b's only right row is later
+    }

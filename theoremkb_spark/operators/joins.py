@@ -15,6 +15,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: each left row picks the LATEST right row with
+    ``right.ts <= left.ts`` within the same ``on`` key (left join — rows
+    with no prior right row keep nulls).
+
+    Spark has no native as-of join; the naive range join explodes
+    quadratically per key. This is the scalable union+window form: tag
+    both sides, union, and forward-fill the right side's payload with
+    ``last(..., ignorenulls)`` over (key, ts, side) — ONE shuffle on the
+    key, linear work per row, no pair enumeration. Ties on ts resolve
+    inclusively (a right row at exactly left.ts matches), matching
+    DuckDB/pandas ``ASOF JOIN`` semantics.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
+    from pyspark.sql import Window
+
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in (on, ts) and c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None))
+    for c in r_tag.columns:
+        if c not in l_tag.columns:
+            l_tag = l_tag.withColumn(c, F.lit(None))
+
+    unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
+    # side=0 sorts before side=1 at equal ts -> inclusive match
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in l_tag.columns if not c.endswith(suffix) and c != "_side"],
+        F.col("_side"),
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -517,6 +517,50 @@ def q_link_fuzzy_lsh(spark, sf):
     ).orderBy("src")
 
 
+def q_join_asof(spark, sf):
+    """As-of join (attribution): each click event picks the user's most
+    recent view at-or-before it — the classic operator Spark lacks,
+    expressed as one union + one key-partitioned window (no per-key
+    pair enumeration). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from .operators.joins import asof_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = asof_join(clicks, views, on="user_id", ts="ts", right_cols=["view_id", "ts"])
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4 — hop through
+    # timestamp (session tz pinned to UTC, matching DuckDB's epoch())
+    as_epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    return out.select(
+        "event_id",
+        "user_id",
+        as_epoch("ts").alias("click_ts"),
+        F.col("view_id_r").alias("view_id"),
+        as_epoch("ts_r").alias("view_ts"),
+    ).orderBy("event_id")
+
+
+SQL_JOIN_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id,
+       floor(epoch(c.ts))::BIGINT AS click_ts,
+       v.view_id,
+       floor(epoch(v.ts))::BIGINT AS view_ts
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+ORDER BY c.event_id
+"""
+
+
 def q_diff_agreement(spark, sf):
     """Agreement diff between two independent labelers (M9 semantics,
     extractors/misc/aggreement.py:25-45): full confusion matrix of the
@@ -591,6 +635,7 @@ QUERIES_DOCS = {
     "sim_tfidf_topk": (q_sim_tfidf_topk, SQL_SIM_TFIDF),
     "link_title_match": (q_link_title_match, SQL_LINK_TITLE),
     "link_fuzzy_lsh": (q_link_fuzzy_lsh, None),
+    "join_asof": (q_join_asof, SQL_JOIN_ASOF),
     "diff_agreement": (q_diff_agreement, SQL_DIFF_AGREEMENT),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
 }
