@@ -665,6 +665,71 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+def q_agg_rollup(spark, sf):
+    """Hierarchical subtotals via ROLLUP (A1 extended): per (returnflag,
+    linestatus), per returnflag, and grand total in ONE grouping-sets
+    aggregation — the multi-level report the reference produces with
+    repeated pandas groupbys, as a single shuffle."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("lstatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("rflag", "lstatus")
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       round(sum(l_quantity::DOUBLE), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY rflag, lstatus
+"""
+
+
+def q_pivot_events(spark, sf):
+    """Long-to-wide pivot: per-user event counts by type as columns —
+    the feature-matrix reshape every training pipeline needs. Spark's
+    pivot with an explicit value list stays a single groupBy (no extra
+    pass to discover the pivot domain)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .count()
+        .na.fill(0, ["click", "view", "error"])
+        .select(
+            "user_id",
+            F.col("click").alias("n_click"),
+            F.col("view").alias("n_view"),
+            F.col("error").alias("n_error"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES_CORE = {
     "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
     "agg_topk_patterns": (q_agg_topk_patterns, SQL_TOPK_PATTERNS),
@@ -688,4 +753,6 @@ QUERIES_CORE = {
     "filter_search": (q_filter_search, SQL_FILTER_SEARCH),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "scan_csv": (q_scan_csv, SQL_SCAN_CSV),
+    "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
+    "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
 }
