@@ -265,7 +265,9 @@ def _doc_spans(url: str, html: bytes, labels=None):
         li = -1
         wi = 0
         for m in _RE_FUSED_SCAN.finditer(s):
-            fid = m.group(1)
+            # one C call fetches all 7 captures (vs a group(1) probe plus
+            # a 6-arg group(...) per word — ~18% of kernel CPU was group())
+            fid, x, y, w, h, link, content = m.groups()
             if fid is None:  # structural marker — dispatch on prefix
                 tok = m.group(0)
                 c = tok[1]
@@ -287,15 +289,18 @@ def _doc_spans(url: str, html: bytes, labels=None):
                 continue
             if not (in_page and in_block and in_line):
                 continue
-            x, y, w, h, link, content = m.group(2, 3, 4, 5, 6, 7)
             float(x), float(y), float(w), float(h)  # numeric validation
             text = unescape(content)
             if wi == 0:
                 italic, _math, bold, _size = fonts.get(fid, no_font)
-                if (bold or italic) and get_pattern(text) in labels:
-                    group += 1
-                    spans.append([group, get_pattern(text), []])
-                    state_open = True
+                if bold or italic:
+                    pat = get_pattern(text)
+                    if pat in labels:
+                        group += 1
+                        spans.append([group, pat, []])
+                        state_open = True
+                    elif li == 0:
+                        state_open = False
                 elif li == 0:
                     state_open = False
             if link == "cite":
