@@ -142,3 +142,44 @@ def test_asof_join_semantics(spark):
         "l2": "r15",  # latest prior, not first
         "l3": None,   # b's only right row is later
     }
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas' independent merge_asof
+    (backward direction, by-key) — 400 left rows, 300 right rows,
+    20 keys, seeded."""
+    import random
+
+    import pandas as pd
+
+    from theoremkb_spark.operators.joins import asof_join
+
+    rng = random.Random(3)
+    left = [(f"k{rng.randrange(20)}", rng.randrange(0, 10_000), i) for i in range(400)]
+    right = [
+        (f"k{rng.randrange(20)}", rng.randrange(0, 10_000), 1000 + i)
+        for i in range(300)
+    ]
+    ldf = spark.createDataFrame(left, "k string, ts long, lid long")
+    rdf = spark.createDataFrame(right, "k string, ts long, rid long")
+    got = {
+        r.lid: r.rid_r
+        for r in asof_join(ldf, rdf, on="k", ts="ts", right_cols=["rid"]).collect()
+    }
+
+    lp = pd.DataFrame(left, columns=["k", "ts", "lid"]).sort_values("ts", kind="stable")
+    # drop duplicate (k, ts) on the right keeping the LAST rid — merge_asof
+    # with allow_exact_matches picks one row per ts; our operator's
+    # last() over (ts, side) keeps the right-side row that sorts last
+    rp = (
+        pd.DataFrame(right, columns=["k", "ts", "rid"])
+        .sort_values(["ts", "rid"], kind="stable")
+        .drop_duplicates(["k", "ts"], keep="last")
+        .sort_values("ts", kind="stable")
+    )
+    exp_df = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    exp = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp

@@ -181,3 +181,24 @@ class TestCleanThm:
                 f"SELECT {_CLEAN_THM_SQL} FROM (SELECT ? AS text)", [s]
             ).fetchone()[0]
             assert got == clean_thm(s), s
+
+
+def test_sql_udf_registration(spark):
+    """The SQL surface returns exactly what the Python functions return,
+    null-safe, via spark.sql."""
+    from theoremkb_spark.functions.sql import register_sql_functions
+    from theoremkb_spark.functions.text import get_pattern, normalize_text
+
+    names = register_sql_functions(spark)
+    assert "tkb_get_pattern" in names
+    df = spark.createDataFrame(
+        [("Theorem 4.1",), ("hy- phenated text",), (None,)], "s string"
+    )
+    df.createOrReplaceTempView("sqludf_probe")
+    rows = spark.sql(
+        "SELECT tkb_get_pattern(s) AS p, tkb_normalize_text(s) AS n "
+        "FROM sqludf_probe"
+    ).collect()
+    assert rows[0].p == get_pattern("Theorem 4.1")
+    assert rows[1].n == normalize_text("hy- phenated text")
+    assert rows[2].p is None and rows[2].n is None

@@ -52,10 +52,17 @@ def asof_join(
             l_tag = l_tag.withColumn(c, F.lit(None))
 
     unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
-    # side=0 sorts before side=1 at equal ts -> inclusive match
+    # side=0 sorts before side=1 at equal ts -> inclusive match; the
+    # right payload columns break ties among right rows sharing
+    # (key, ts), so the winner is deterministic (max payload tuple)
+    # instead of partition-order luck
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("_side").asc(),
+            *[F.col(f"{c}{suffix}").asc_nulls_first() for c in right_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
