@@ -180,3 +180,58 @@ def test_triple_compaction_preserves_reads_and_history(spark, tmp_path):
         for r in store.read_triples(spark).collect()
     }
     assert final == _expected()
+
+
+def test_recommit_supersedes_earlier_triples(spark, tmp_path):
+    """A re-crawl batch replaces earlier triples for its urls in current
+    reads (no duplicates), pinned time travel still sees the old rows,
+    and compaction bakes the supersede in."""
+    from pyspark.sql import functions as F
+
+    from theoremkb_spark.io.catalog import recommit_urls
+
+    pages = load_pages(spark, N)
+    ents = load_entity_dict(spark, N)
+    store = CheckpointedTripleStore(str(tmp_path / "kg"))
+    run_incremental(spark, pages, ents, store)
+    expected = _expected()
+    urls = pages.select("url").orderBy("url").limit(6)
+
+    # hand-commit a poisoned batch for those urls so replacement is
+    # OBSERVABLE (same-content recommit would be invisible)
+    poison = (
+        store.read_triples(spark)
+        .join(urls, "url", "left_semi")
+        .withColumn("obj", F.lit("POISON"))
+    )
+    store.commit_batch(poison, urls, supersedes_urls=urls)
+    cur = store.read_triples(spark)
+    assert cur.filter("obj = 'POISON'").count() > 0
+    # none of the urls' ORIGINAL rows survive in the current view
+    originals = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in cur.join(urls, "url", "left_semi").filter("obj <> 'POISON'").collect()
+    }
+    assert originals == set()
+    # pinned time travel still serves the pre-re-crawl state
+    v0 = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark, as_of_batch=0).collect()
+    }
+    assert v0 == expected
+
+    # a real recommit (same content) heals the poison — and the current
+    # read equals the full expected set again, with zero duplicates
+    recommit_urls(spark, pages, ents, store, urls=urls)
+    healed = store.read_triples(spark)
+    rows = {(r.subj, r.pred, r.obj, r.url) for r in healed.collect()}
+    assert rows == expected
+    assert healed.count() == len(rows)  # no duplicate physical rows
+
+    # compaction folds the filtered state; reads unchanged
+    assert store.compact_triples(spark, min_batches=2)
+    after = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in store.read_triples(spark).collect()
+    }
+    assert after == expected

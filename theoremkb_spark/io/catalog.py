@@ -70,32 +70,85 @@ class CheckpointedTripleStore:
     def read_triples(
         self, spark: SparkSession, as_of_batch: int | None = None
     ) -> DataFrame:
-        """Union of the committed snapshots. ``as_of_batch`` is the
-        Iceberg time-travel read (`VERSION AS OF`): only snapshots with
-        batch_id <= as_of_batch are visible — a reproducible historical
-        view for audits and incremental-consumer restarts. Time-travel
-        reads always use the original per-batch files (kept on disk and
-        referenced by their manifests); current reads substitute the
-        compacted generation for everything up to the last compaction
-        point (see ``compact_triples``)."""
+        """Union of the committed snapshots, minus rows superseded by a
+        later re-crawl batch (Iceberg row-level-delete emulation: a
+        manifest's ``supersedes_urls_path`` lists urls whose triples
+        from EARLIER batches are dead). ``as_of_batch`` is the
+        time-travel read (`VERSION AS OF`): only snapshots — and only
+        supersedes — with batch_id <= as_of_batch apply, so a pinned
+        historical view still shows the pre-re-crawl rows. Time-travel
+        reads always use the original per-batch files; current reads
+        substitute the compacted generation for everything up to the
+        last compaction point (the compacted gen was written from an
+        already-supersede-filtered read, so older supersedes are baked
+        in; only supersedes from batches after the compaction point
+        need re-applying)."""
         comp = (
             self._triple_compaction()
             if as_of_batch is None
             else {"upto_batch": -1, "path": None}
         )
-        paths = [
-            m["triples_path"]
+        visible = [
+            m
             for m in self.manifests()
-            if m["batch_id"] > comp["upto_batch"]
-            and (as_of_batch is None or m["batch_id"] <= as_of_batch)
+            if as_of_batch is None or m["batch_id"] <= as_of_batch
         ]
+        if not any(m.get("supersedes_urls_path") for m in visible):
+            # fast path (no re-crawls in the visible range): one
+            # multi-path scan, no per-batch plans
+            paths = [
+                m["triples_path"]
+                for m in visible
+                if m["batch_id"] > comp["upto_batch"]
+            ]
+            if comp["path"]:
+                paths.append(comp["path"])
+            if not paths:
+                return spark.createDataFrame(
+                    [],
+                    "subj string, pred string, obj string, url string, group long",
+                )
+            return spark.read.parquet(*paths)
+        parts = []
+        for m in visible:
+            if m["batch_id"] <= comp["upto_batch"]:
+                continue
+            df = spark.read.parquet(m["triples_path"])
+            dead = [
+                s["supersedes_urls_path"]
+                for s in visible
+                if s["batch_id"] > m["batch_id"] and s.get("supersedes_urls_path")
+            ]
+            if dead:
+                df = df.join(
+                    F.broadcast(spark.read.parquet(*dead).select("url").distinct()),
+                    "url",
+                    "left_anti",
+                )
+            parts.append(df)
         if comp["path"]:
-            paths.append(comp["path"])
-        if not paths:
+            df = spark.read.parquet(comp["path"])
+            dead = [
+                s["supersedes_urls_path"]
+                for s in visible
+                if s["batch_id"] > comp["upto_batch"]
+                and s.get("supersedes_urls_path")
+            ]
+            if dead:
+                df = df.join(
+                    F.broadcast(spark.read.parquet(*dead).select("url").distinct()),
+                    "url",
+                    "left_anti",
+                )
+            parts.append(df)
+        if not parts:
             return spark.createDataFrame(
                 [], "subj string, pred string, obj string, url string, group long"
             )
-        return spark.read.parquet(*paths)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def compact_triples(
         self,
@@ -194,7 +247,13 @@ class CheckpointedTripleStore:
         triples: DataFrame,
         urls: DataFrame,
         lineage: DataFrame | None = None,
+        supersedes_urls: DataFrame | None = None,
     ) -> int:
+        """``supersedes_urls`` (a one-column ``url`` DataFrame) marks
+        this batch as a RE-CRAWL of those urls: their triples from
+        earlier batches become invisible to current reads the moment
+        this manifest commits (row-level-delete emulation) while
+        time-travel reads pinned before this batch still see them."""
         batch_id = self.next_batch_id()
         triples_path = os.path.join(self.out_dir, f"triples/batch={batch_id}")
         urls_path = os.path.join(self.out_dir, f"urls/batch={batch_id}")
@@ -209,11 +268,21 @@ class CheckpointedTripleStore:
                 "overwrite"
             ).parquet(lineage_path)
 
+        supersedes_path = None
+        if supersedes_urls is not None:
+            supersedes_path = os.path.join(
+                self.out_dir, f"supersedes/batch={batch_id}"
+            )
+            supersedes_urls.select("url").distinct().write.mode("overwrite").parquet(
+                supersedes_path
+            )
+
         manifest = {
             "batch_id": batch_id,
             "triples_path": triples_path,
             "urls_path": urls_path,
             "lineage_path": lineage_path if lineage is not None else None,
+            "supersedes_urls_path": supersedes_path,
         }
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -255,4 +324,41 @@ def run_incremental(
         release_caches(caches)
     store.compact_url_ledger(spark)
     store.compact_triples(spark)
+    return batch_id
+
+
+def recommit_urls(
+    spark: SparkSession,
+    pages: DataFrame,
+    entity_dict: DataFrame,
+    store: CheckpointedTripleStore,
+    urls: DataFrame | None = None,
+) -> int:
+    """Re-crawl path: reprocess ``urls`` (default: every url in
+    ``pages``) REGARDLESS of the resume ledger and commit the result as
+    a superseding batch — earlier triples for those urls disappear from
+    current reads atomically at manifest commit, while pinned
+    time-travel reads still serve the pre-re-crawl view. This is the
+    UPDATE half the append-only ledger cannot express: changed page
+    content flows through without replaying the whole corpus."""
+    from ..pipeline.runner import build_kg, lineage_rows, release_caches
+
+    todo = (
+        pages
+        if urls is None
+        else pages.join(F.broadcast(urls.select("url")), "url", "left_semi")
+    )
+    if todo.isEmpty():
+        return -1
+    caches: list[DataFrame] = []
+    triples = build_kg(spark, todo, entity_dict, cache_registry=caches)
+    try:
+        batch_id = store.commit_batch(
+            triples,
+            todo.select("url"),
+            lineage_rows(triples, "triples"),
+            supersedes_urls=todo.select("url"),
+        )
+    finally:
+        release_caches(caches)
     return batch_id
