@@ -2,8 +2,9 @@
 
 ``build_kg`` wires the six stages into one lazy DataFrame plan:
 
-    pages --repartition(xxhash64(url))--> extract -> label -> spans
-      -> mentions --broadcast dict (canonicalized via CC)--> triples
+    pages --map-only Arrow extract--> fused
+      --repartition(url)--> spans/mentions
+      --broadcast dict (canonicalized via CC)--> triples
 
 Triple vocabulary (north star): statement_of, proved_in, cites,
 defined_in — mapped from the reference's graph tables
@@ -11,11 +12,14 @@ defined_in — mapped from the reference's graph tables
 FIXTURES.md §6. Output is distinct on (subj, pred, obj, url) with
 group = min provenance span.
 
-Everything before the final distinct is a narrow chain plus exactly two
-shuffles at corpus scale: the url-hash repartition (explicit, north rule)
-and the span groupBy (same key — Catalyst reuses the partitioning). The
-dictionary join is broadcast; the CC loop runs on the tiny alias-edge
-table only.
+In the fused (production) path the html NEVER shuffles: extraction is a
+map-only Arrow pass over the byte-balanced source scan, and the
+explicit url-hash repartition (north rule) lands on the ~40x smaller
+fused span table, whose HashPartitioning every downstream
+groupBy/window reuses. The dictionary join is broadcast; the CC loop
+runs on the tiny alias-edge table only. The window path (cross-check
+implementation) inverts the choice — there the token table is the big
+one, so the pages repartition before tokenization is the cheap side.
 """
 
 from __future__ import annotations
@@ -183,28 +187,38 @@ def build_kg(
     # small ones after each shuffle. At cluster scale the caller sizes
     # this by target partition bytes instead.
     n_partitions = n_partitions or 4 * spark.sparkContext.defaultParallelism
-    # explicit url-hash repartition (north rule): spreads document skew.
-    # Hashing the raw `url` COLUMN (not xxhash64(url)) matters: the
-    # downstream Window.partitionBy("url") and groupBy("url", ...) then
-    # recognize the HashPartitioning and reuse it — the whole
-    # extract->label->span chain runs on ONE shuffle of the pages
-    # instead of re-shuffling the (larger) token table.
-    pages = pages.repartition(n_partitions, F.col("url"))
 
     if labeler == "fused":
         # single Arrow pass: parse + label + span assembly + name
-        # resolution per document (extract.extract_spans). The fused
-        # output is ~40x smaller than the token stream and feeds six
-        # triple branches — cache it. No token-level shuffle exists in
-        # this plan: the one wide exchange is the pages repartition.
+        # resolution per document (extract.extract_spans), MAP-ONLY over
+        # the source scan: one page row is one whole document, so the
+        # per-doc UDF needs no co-location, and the scan's byte-bounded
+        # splits (spark.sql.files.maxPartitionBytes) already balance the
+        # html across tasks — shuffling the full html corpus before
+        # extraction was pure cost (measured 1.6x wall at 9600 docs;
+        # at 100 TB it is the difference between shuffling 100 TB and
+        # shuffling the ~40x smaller span table). The explicit url-hash
+        # repartition (north rule) is applied to the FUSED output
+        # instead, where it is nearly free and hands every downstream
+        # groupBy/window a reusable HashPartitioning.
         from .extract import extract_spans
 
-        fused = _cached(extract_spans(pages, english_only=True, model_file=model_file))
+        fused = _cached(
+            extract_spans(pages, english_only=True, model_file=model_file).repartition(
+                n_partitions, F.col("url")
+            )
+        )
         spans = fused.filter(F.col("kind") == "span").select(
             "url", "group", "label", "text", "own_name"
         )
         citations = fused.filter(F.col("kind") == "cite").select("url", "tag")
     else:
+        # token path: the token table is ~40x LARGER than the pages, so
+        # here the cheap place for the explicit url-hash exchange is the
+        # pages — the downstream Window.partitionBy("url")/groupBy
+        # recognize the HashPartitioning (raw `url` column, not
+        # xxhash64(url)) and the token stream never re-shuffles.
+        pages = pages.repartition(n_partitions, F.col("url"))
         # window-function path (cross-check implementation): tokens feed
         # two consumers (span pipeline + paper citations) and spans feed
         # four triple branches — cache both so the extract/label chain
