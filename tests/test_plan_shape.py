@@ -56,6 +56,15 @@ def test_kg_plan_shape(spark, tmp_path):
     assert len(repart) == 1, plan
     assert len(_exchange_ids(plan)) <= 4, _exchange_ids(plan)
 
+    # map-only extraction: the Arrow UDF consumes the scan directly and
+    # the repartition consumes the UDF's (40x smaller) output — in the
+    # printed tree the Exchange sits ABOVE the first MapInPandas. The
+    # inverted order would mean the html corpus shuffles before
+    # extraction (the round-1 plan, measured 1.6-2.7x slower).
+    assert plan.index("REPARTITION_BY_NUM") < plan.index("MapInPandas"), (
+        "pages are being shuffled before extraction"
+    )
+
     # dictionary joins broadcast; nothing quadratic anywhere
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
