@@ -106,15 +106,38 @@ def fuzzy_link_lsh(
     positive. Raise bands (lower rows) only for alphabets/inputs whose
     baseline cross-pair similarity is genuinely low.
     """
-    from ..operators.dedup import banded_signatures, minhash_signatures
+    from ..operators.dedup import banded_signatures
 
     rows = num_hashes // bands
-    msh = char_shingles(mentions, id_col, text_col, n)
-    dsh = char_shingles(dictionary, dict_id_col, dict_text_col, n)
+    # the shingle tables each feed two consumers (the stats aggregation
+    # and the verification join) — cache so scan + explode run once
+    msh = char_shingles(mentions, id_col, text_col, n).cache()
+    dsh = char_shingles(dictionary, dict_id_col, dict_text_col, n).cache()
     hint = F.broadcast if broadcast_dict else (lambda df: df)
 
-    mbanded = banded_signatures(minhash_signatures(msh, num_hashes), bands, rows)
-    dbanded = banded_signatures(minhash_signatures(dsh, num_hashes), bands, rows)
+    # ONE union + groupBy computes MinHash signatures AND set sizes for
+    # BOTH sides (the naive form used four separate aggregations — at
+    # small scale this query is stage-count-bound, and each shuffle is a
+    # full sequential stage barrier)
+    tagged = msh.withColumn("_m", F.lit(1)).unionByName(
+        dsh.withColumn("_m", F.lit(0))
+    )
+    stats = (
+        tagged.groupBy("_m", "id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+                for j in range(num_hashes)
+            ],
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .cache()
+    )
+    mstats = stats.filter(F.col("_m") == 1)
+    dstats = stats.filter(F.col("_m") == 0)
+
+    mbanded = banded_signatures(mstats, bands, rows)
+    dbanded = banded_signatures(dstats, bands, rows)
     candidates = (
         mbanded.withColumnRenamed("id", "src")
         .join(hint(dbanded.withColumnRenamed("id", "dst")), ["band", "sig"])
@@ -128,15 +151,13 @@ def fuzzy_link_lsh(
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    msizes = msh.groupBy("id").agg(F.count(F.lit(1)).alias("sz_a"))
-    dsizes = dsh.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
     jac = (
         F.col("common").cast("decimal(18,6)")
         / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("decimal(18,6)")
     )
     verified = (
-        common.join(msizes.withColumnRenamed("id", "src"), "src")
-        .join(hint(dsizes.withColumnRenamed("id", "dst")), "dst")
+        common.join(mstats.select(F.col("id").alias("src"), F.col("sz").alias("sz_a")), "src")
+        .join(hint(dstats.select(F.col("id").alias("dst"), F.col("sz").alias("sz_b"))), "dst")
         .withColumn("jaccard", F.round(jac, 6).cast("double"))
         .filter(F.col("jaccard") >= threshold)
     )
