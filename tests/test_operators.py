@@ -183,3 +183,30 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+def test_pagerank_random_graphs_match_twin(spark):
+    """Random topologies (cycles, sinks, disconnected nodes, dense hubs)
+    at three seeds: the distributed loop matches the sequential twin to
+    1e-12 and mass is conserved."""
+    import random
+
+    from theoremkb_spark.corpus.materialize import pagerank_expected
+    from theoremkb_spark.operators.graph import pagerank
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 30
+        edges = sorted(
+            {
+                (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")
+                for _ in range(60)
+            }
+        )
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.rank for r in pagerank(df).collect()}
+        exp = dict(pagerank_expected(edges))
+        assert set(got) == set(exp), seed
+        for v in exp:
+            assert abs(got[v] - exp[v]) < 1e-12, (seed, v)
+        assert abs(sum(got.values()) - 1.0) < 1e-9, seed
