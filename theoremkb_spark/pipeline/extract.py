@@ -186,12 +186,16 @@ def extract_tokens(pages: DataFrame, english_only: bool = True) -> DataFrame:
 SPANS_FUSED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
-        T.StructField("kind", T.StringType(), False),  # 'span' | 'cite'
+        T.StructField("kind", T.StringType(), False),  # 'span'|'cite'|'mention'
         T.StructField("group", T.LongType(), False),
         T.StructField("label", T.StringType(), True),
         T.StructField("text", T.StringType(), True),
         T.StructField("own_name", T.StringType(), True),
         T.StructField("tag", T.StringType(), True),
+        # mention rows only: the mined reference (mentions.refs_udf twin)
+        T.StructField("ref_name", T.StringType(), True),
+        T.StructField("ref_kind", T.StringType(), True),  # 'intra'|'extra'
+        T.StructField("ref_tag", T.StringType(), True),
     ]
 )
 
@@ -365,6 +369,8 @@ def extract_spans(
     names = [f.name for f in SPANS_FUSED_SCHEMA.fields]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.text import find_ref_results
+
         labels = _labeler_params(model_file)  # once per worker, not per row
         cols: dict[str, list] = {n: [] for n in names}
         n_buf = 0
@@ -376,28 +382,41 @@ def extract_spans(
             n_buf = 0
             return out
 
+        def emit(url, kind, group, label, text, own, tag, rname, rkind, rtag):
+            cols["url"].append(url)
+            cols["kind"].append(kind)
+            cols["group"].append(group)
+            cols["label"].append(label)
+            cols["text"].append(text)
+            cols["own_name"].append(own)
+            cols["tag"].append(tag)
+            cols["ref_name"].append(rname)
+            cols["ref_kind"].append(rkind)
+            cols["ref_tag"].append(rtag)
+
         for pdf in batches:
             for url, html in zip(pdf["url"], pdf["html"]):
                 if html is None:
                     continue
                 spans, tags = _doc_spans(url, bytes(html), labels)
+                n = 0
                 for g, label, text, own in spans:
-                    cols["url"].append(url)
-                    cols["kind"].append("span")
-                    cols["group"].append(g)
-                    cols["label"].append(label)
-                    cols["text"].append(text)
-                    cols["own_name"].append(own)
-                    cols["tag"].append(None)
+                    emit(url, "span", g, label, text, own, None, None, None, None)
+                    # mention mining fused into the same pass — exactly
+                    # the refs_udf semantics (mentions.py): per-span
+                    # dedup + sort, ref names lowercased downstream-style
+                    _, intra, extra = find_ref_results(own, text or "")
+                    for nm in sorted(set(intra)):
+                        emit(url, "mention", g, label, None, own,
+                             None, nm.lower(), "intra", None)
+                        n += 1
+                    for rtag, nm in sorted(set(extra)):
+                        emit(url, "mention", g, label, None, own,
+                             None, nm.lower(), "extra", rtag)
+                        n += 1
                 for tag in tags:
-                    cols["url"].append(url)
-                    cols["kind"].append("cite")
-                    cols["group"].append(0)
-                    cols["label"].append(None)
-                    cols["text"].append(None)
-                    cols["own_name"].append(None)
-                    cols["tag"].append(tag)
-                n_buf += len(spans) + len(tags)
+                    emit(url, "cite", 0, None, None, None, tag, None, None, None)
+                n_buf += len(spans) + len(tags) + n
                 if n_buf >= 100_000:
                     yield flush()
         if n_buf:

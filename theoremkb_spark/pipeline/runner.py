@@ -212,6 +212,18 @@ def build_kg(
             "url", "group", "label", "text", "own_name"
         )
         citations = fused.filter(F.col("kind") == "cite").select("url", "tag")
+        # mention mining is fused into the same Arrow pass (refs_udf
+        # semantics inside extract_spans) — no second python stage, no
+        # extra cache round trip over the span table
+        mentions = fused.filter(F.col("kind") == "mention").select(
+            "url",
+            "group",
+            "label",
+            "own_name",
+            "ref_name",
+            F.col("ref_kind").alias("kind"),
+            "ref_tag",
+        )
     else:
         # token path: the token table is ~40x LARGER than the pages, so
         # here the cheap place for the explicit url-hash exchange is the
@@ -232,9 +244,9 @@ def build_kg(
         )
         spans = _cached(resolve_span_names(assemble_spans(labeled)))
         citations = paper_citations(tokens)
-    # two consumers (intra + extra cite branches) — cache so the mention
-    # mining UDF runs once over the span table
-    mentions = _cached(mine_mentions(spans))
+        # two consumers (intra + extra cite branches) — cache so the
+        # mention mining UDF runs once over the span table
+        mentions = _cached(mine_mentions(spans))
     if dico is None:
         # the dictionary is broadcast-sized and consumed by two joins —
         # cache it so the CC canonicalization runs once
