@@ -23,7 +23,6 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from theoremkb_spark.pipeline.extract import extract_spans
-    from theoremkb_spark.pipeline.mentions import mine_mentions
     from theoremkb_spark.pipeline.runner import build_triples, load_dico, lineage_rows
     from theoremkb_spark.session import get_spark, warm_python_workers
 
@@ -43,14 +42,18 @@ def main() -> None:
     dict_rows = pq.read_table(args.pages_parquet + ".dict.parquet").to_pylist()
     dico = clock("dico", lambda: load_dico(spark, dict_rows).cache())
 
-    pages_r = pages.repartition(4 * args.cpus, F.col("url"))
-    fused = extract_spans(pages_r).cache()
+    # map-only extraction (mention mining fused in); repartition the
+    # small fused output — mirrors runner.build_kg's production shape
+    fused = extract_spans(pages).repartition(4 * args.cpus, F.col("url")).cache()
     clock("fused_extract", lambda: fused.count())
     spans = fused.filter(F.col("kind") == "span").select(
         "url", "group", "label", "text", "own_name"
     )
     citations = fused.filter(F.col("kind") == "cite").select("url", "tag")
-    mentions = mine_mentions(spans)
+    mentions = fused.filter(F.col("kind") == "mention").select(
+        "url", "group", "label", "own_name", "ref_name",
+        F.col("ref_kind").alias("kind"), "ref_tag",
+    )
     clock("mentions", lambda: mentions.write.mode("overwrite").format("noop").save())
     triples = build_triples(spans, mentions, citations, dico).persist()
     clock("triples", lambda: triples.write.mode("overwrite").format("noop").save())
