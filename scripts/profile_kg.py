@@ -10,7 +10,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -39,7 +43,13 @@ def main() -> None:
 
     pages = spark.read.parquet(args.pages_parquet)
     n_docs = clock("load", lambda: pages.count())
-    dict_rows = pq.read_table(args.pages_parquet + ".dict.parquet").to_pylist()
+    dict_path = args.pages_parquet + ".dict.parquet"
+    if os.path.exists(dict_path):
+        dict_rows = pq.read_table(dict_path).to_pylist()
+    else:  # no sidecar (bench-written corpus) — regenerate from the seed
+        from theoremkb_spark.corpus.generator import entity_dict_rows
+
+        dict_rows = list(entity_dict_rows(n_docs))
     dico = clock("dico", lambda: load_dico(spark, dict_rows).cache())
 
     # map-only extraction (mention mining fused in); repartition the
