@@ -93,8 +93,15 @@ class CheckpointedTripleStore:
             for m in self.manifests()
             if as_of_batch is None or m["batch_id"] <= as_of_batch
         ]
-        if not any(m.get("supersedes_urls_path") for m in visible):
-            # fast path (no re-crawls in the visible range): one
+        # supersedes at or below the compaction point only affect batches
+        # older than themselves — all folded into the compacted gen — so
+        # they must not disable the fast path forever after a compaction
+        if not any(
+            m.get("supersedes_urls_path")
+            for m in visible
+            if m["batch_id"] > comp["upto_batch"]
+        ):
+            # fast path (no re-crawls past the compaction point): one
             # multi-path scan, no per-batch plans
             paths = [
                 m["triples_path"]

@@ -65,15 +65,26 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward-fill ONE struct of the whole right payload, not each column
+    # independently: a matched right row with a NULL in one payload column
+    # must yield that NULL, not a back-fill from an older right row (the
+    # per-column form fabricated rows mixing columns of different matches)
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(*[F.col(f"{c}{suffix}").alias(c) for c in right_cols]),
+    )
     filled = unioned.select(
         *[c for c in l_tag.columns if not c.endswith(suffix) and c != "_side"],
         F.col("_side"),
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.last(payload, ignorenulls=True).over(w).alias("_rpay"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *[c for c in l_tag.columns if not c.endswith(suffix) and c != "_side"],
+            *[F.col(f"_rpay.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )
 
 
 def salted_join(

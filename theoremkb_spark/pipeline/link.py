@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import salted_join
 
+# caches of the most recent fuzzy_link_lsh call (released by the next one)
+_last_caches: list = []
+
 
 def _resolve(df: DataFrame, dico: DataFrame, strategy: str, salt: int) -> DataFrame:
     """Left-join df(url, tag, ...) against dico(url, tag, pdf_to_canon)."""
@@ -74,6 +77,7 @@ def fuzzy_link_lsh(
     bands: int = 8,
     threshold: float = 0.5,
     broadcast_dict: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Fuzzy entity linking: noisy mention strings -> best dictionary
     entry, via blocking + MinHash-LSH candidate generation (north star:
@@ -109,10 +113,21 @@ def fuzzy_link_lsh(
     from ..operators.dedup import banded_signatures
 
     rows = num_hashes // bands
+    # each call releases the PREVIOUS call's cached blocks, so looped
+    # callers (bench reps, the 50-query correctness sweep) hold at most
+    # one invocation's caches; callers wanting full control pass a
+    # cache_registry and release after their terminal action, same
+    # discipline as build_kg
+    global _last_caches
+    for df in _last_caches:
+        df.unpersist()
+    _last_caches = []
     # the shingle tables each feed two consumers (the stats aggregation
     # and the verification join) — cache so scan + explode run once
     msh = char_shingles(mentions, id_col, text_col, n).cache()
     dsh = char_shingles(dictionary, dict_id_col, dict_text_col, n).cache()
+    reg = _last_caches if cache_registry is None else cache_registry
+    reg.extend([msh, dsh])
     hint = F.broadcast if broadcast_dict else (lambda df: df)
 
     # ONE union + groupBy computes MinHash signatures AND set sizes for
@@ -133,6 +148,7 @@ def fuzzy_link_lsh(
         )
         .cache()
     )
+    reg.append(stats)
     mstats = stats.filter(F.col("_m") == 1)
     dstats = stats.filter(F.col("_m") == 0)
 

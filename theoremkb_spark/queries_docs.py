@@ -479,7 +479,9 @@ def q_link_fuzzy_lsh(spark, sf):
     north-star link-stage blocking path; reference exact-title precedent
     get_links.py:74-133): each document's ASCII-title prefix is the
     dictionary entry; its shorter truncated prefix is the 'noisy
-    mention'; blocking = char-3-gram MinHash banding, verification =
+    mention'; blocking = char-5-gram (LINK_N) MinHash banding — n>=5
+    because natural-language 3-grams are the quadratic-candidate trap
+    (see fuzzy_link_lsh's parameter discipline); verification =
     exact Jaccard, link = per-mention argmax over a 0.5 floor. The
     dictionary side is broadcast — the mention table never shuffles."""
     from .corpus.dedup_oracle import (
@@ -528,8 +530,14 @@ def q_join_asof(spark, sf):
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    views = e.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("view_id")
+    # pre-dedup exact-duplicate right keys (user_id, ts) keeping
+    # max(view_id): DuckDB ASOF JOIN's pick among tied right rows is
+    # unspecified, so the tie-break is pinned identically on both sides
+    # instead of relying on the engines' internal choices
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
     )
     out = asof_join(clicks, views, on="user_id", ts="ts", right_cols=["view_id", "ts"])
     # TIMESTAMP_NTZ has no direct long cast in Spark 4 — hop through
@@ -549,7 +557,8 @@ WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ),
 views AS (
-  SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'
+  SELECT max(event_id) AS view_id, user_id, ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
 )
 SELECT c.event_id, c.user_id,
        floor(epoch(c.ts))::BIGINT AS click_ts,
