@@ -36,7 +36,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q_text_stats(spark, sf):
-    """Token counting + punctuation + stopword hits + fingerprint."""
+    """Token counting + punctuation + stopword hits + fingerprint +
+    composite quality score (one pass over documents covers both the
+    stats and the quality-scoring operators — same key, same scan)."""
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
@@ -44,6 +46,7 @@ def q_text_stats(spark, sf):
         punct_count(F.col("text")).cast("long").alias("n_punct"),
         stopword_hits(F.col("text")).alias("stop_hits"),
         fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -57,13 +60,23 @@ def _occ_sql(word: str, s: str = "trim(regexp_replace(text, '\\s+', ' ', 'g'))")
 _STOP_EN = ["the", "a", "and", "of", "to", "in", "is"]
 
 SQL_TEXT_STATS = f"""
-SELECT doc_id,
-       CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
-            ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS n_tokens,
-       length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
-       {' + '.join(_occ_sql(w) for w in _STOP_EN)} AS stop_hits,
-       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-FROM documents ORDER BY doc_id
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         {' + '.join(_occ_sql(w) for w in _STOP_EN)} AS stop_hits,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         CAST(greatest(length(text), 1) AS DECIMAL(18,6)) AS chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_punct, stop_hits, fp,
+       round(
+         least(round(CAST(n_tokens AS DECIMAL(18,6)) / CAST(200 AS DECIMAL(18,6)), 6), CAST(1 AS DECIMAL(18,6))) * CAST(0.4 AS DECIMAL(18,6))
+         + least(round(CAST(stop_hits AS DECIMAL(18,6)) * 10 / greatest(CAST(n_tokens AS DECIMAL(18,6)), CAST(1 AS DECIMAL(18,6))), 6), CAST(1 AS DECIMAL(18,6))) * CAST(0.4 AS DECIMAL(18,6))
+         + (CAST(1 AS DECIMAL(18,6)) - round(CAST(n_punct AS DECIMAL(18,6)) / chars, 6)) * CAST(0.2 AS DECIMAL(18,6)),
+       6)::DOUBLE AS quality
+FROM base ORDER BY doc_id
 """
 
 
@@ -108,37 +121,6 @@ WITH scored AS (
 )
 SELECT lang, pred_lang, count(*) AS n FROM pred
 GROUP BY lang, pred_lang ORDER BY lang, pred_lang
-"""
-
-
-def q_text_quality(spark, sf):
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy(
-        "doc_id"
-    )
-
-
-_WORDS_SQL = (
-    "CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0 "
-    "ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END"
-)
-
-SQL_TEXT_QUALITY = f"""
-WITH base AS (
-  SELECT doc_id,
-         CAST({_WORDS_SQL} AS DECIMAL(18,6)) AS words,
-         CAST(greatest(length(text), 1) AS DECIMAL(18,6)) AS chars,
-         CAST({' + '.join(_occ_sql(w) for w in _STOP_EN)} AS DECIMAL(18,6)) AS stop,
-         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DECIMAL(18,6)) AS punct
-  FROM documents
-)
-SELECT doc_id,
-       round(
-         least(round(words / CAST(200 AS DECIMAL(18,6)), 6), CAST(1 AS DECIMAL(18,6))) * CAST(0.4 AS DECIMAL(18,6))
-         + least(round(stop * 10 / greatest(words, CAST(1 AS DECIMAL(18,6))), 6), CAST(1 AS DECIMAL(18,6))) * CAST(0.4 AS DECIMAL(18,6))
-         + (CAST(1 AS DECIMAL(18,6)) - round(punct / chars, 6)) * CAST(0.2 AS DECIMAL(18,6)),
-       6)::DOUBLE AS quality
-FROM base ORDER BY doc_id
 """
 
 
@@ -632,7 +614,6 @@ ORDER BY doc_id
 QUERIES_DOCS = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
