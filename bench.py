@@ -59,9 +59,12 @@ def main() -> None:
     warm_python_workers(spark, CPUS)  # steady state: imports off the clock
 
     # this sandbox VM has documented co-tenant CPU bursts (identical
-    # back-to-back runs swing 3x — see BENCH/BASELINE.md); min-of-N is
-    # the steady-state estimator that survives them
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # back-to-back runs swing 3-5x and a burst can span several minutes
+    # — see BENCH/BASELINE.md and BENCH/RECONCILE_r03.md, where min-of-3
+    # recorded 28.8 s for a pipeline whose quiet steady state is ~5 s);
+    # min-of-N with enough reps to straddle a burst is the only
+    # estimator that converges to the plan's cost
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -97,10 +100,12 @@ def main() -> None:
     # each timed run releases its stage caches so every rep is a full,
     # self-contained pipeline execution (no cross-run cache hits via
     # canonicalized-plan matching); min-of-reps as above
-    # one extra rep for the long-pole query: a single co-tenant burst
-    # costs 5x wall here, and min-of-3 halves the odds of recording one
+    # extra reps for the long-pole query: a single co-tenant burst
+    # costs 5x wall here and can span minutes — round 2's official 28.8 s
+    # was min-of-3 landing entirely inside one; min-of-5 at ~5-10 s per
+    # rep straddles the typical burst length
     kg_sec = float("inf")
-    for _ in range(max(reps, 2) + 1):
+    for _ in range(max(reps, 2) + 2):
         caches = []
         t0 = time.time()
         _force(build_kg(spark, pages, dico=dico, cache_registry=caches))

@@ -54,7 +54,7 @@ def main() -> None:
 
     # map-only extraction (mention mining fused in); repartition the
     # small fused output — mirrors runner.build_kg's production shape
-    fused = extract_spans(pages).repartition(4 * args.cpus, F.col("url")).cache()
+    fused = extract_spans(pages).repartition(args.cpus, F.col("url")).cache()
     clock("fused_extract", lambda: fused.count())
     spans = fused.filter(F.col("kind") == "span").select(
         "url", "group", "label", "text", "own_name"

@@ -181,12 +181,20 @@ def build_kg(
         # the model is Viterbi-applied per document (M1).
         labeler = "arrow"
 
-    # 4x the core count: enough slack for the scheduler to interleave
-    # around document skew (a partition == a core leaves the stage wall
-    # clock hostage to its single slowest partition); AQE coalesces the
-    # small ones after each shuffle. At cluster scale the caller sizes
-    # this by target partition bytes instead.
-    n_partitions = n_partitions or 4 * spark.sparkContext.defaultParallelism
+    # Fused path: the repartitioned table is the ~40x-reduced span table
+    # (tens of MB at bench scale), so partitions = cores — every extra
+    # partition multiplies the task count of all six downstream branch
+    # scans of the cache (4x cores measured 768 tasks and 8.9 s min-of-5
+    # vs 5.2 s at 1x; see BENCH/RECONCILE_r03.md). Skew is already
+    # handled upstream: the map-only extraction balances html by
+    # byte-bounded scan splits, and url-hash spreads documents evenly.
+    # Window path: the repartition lands on the PAGES feeding a ~40x
+    # larger token table, where scheduler slack around document skew
+    # still pays — keep 4x there. At cluster scale the caller sizes
+    # this by target partition bytes (~128-512 MB) instead.
+    if n_partitions is None:
+        mult = 1 if labeler == "fused" else 4
+        n_partitions = mult * spark.sparkContext.defaultParallelism
 
     if labeler == "fused":
         # single Arrow pass: parse + label + span assembly + name
