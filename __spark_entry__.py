@@ -89,8 +89,9 @@ def _materialize_once(name: str, sf_dir: str | None, src_file: str, build):
         sf_dir = _DEFAULT_SF_DIR
     src = os.path.join(sf_dir, src_file)
     # "ver" invalidates markers written before a fixture-set change
-    # (e.g. adding the linkfuzzy oracle to the dedup build)
-    stamp = {"sf_dir": sf_dir, "src_mtime": os.path.getmtime(src), "ver": 3}
+    # (e.g. adding the linkfuzzy oracle, or the round-3 pixel-feature
+    # multimodal oracle schema)
+    stamp = {"sf_dir": sf_dir, "src_mtime": os.path.getmtime(src), "ver": 4}
     if current == stamp:
         return
     build(sf_dir)
@@ -571,7 +572,8 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT id_a, id_b, hamming FROM '{dpaths['simhash']}' ORDER BY id_a, id_b"
     )
     out["multimodal_features"] = (
-        f"SELECT id, n_bytes, f0, f1 FROM '{dpaths['multimodal']}' ORDER BY id"
+        f"SELECT id, n_bytes, width, height, mean_r, mean_g, mean_b, luma_std "
+        f"FROM '{dpaths['multimodal']}' ORDER BY id"
     )
     out["link_fuzzy_lsh"] = (
         f"SELECT src, dst, jaccard FROM '{dpaths['linkfuzzy']}' ORDER BY src"

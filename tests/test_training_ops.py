@@ -356,21 +356,24 @@ def test_simhash_oracle_twin_matches_operator(spark, edge_docs):
 
 
 def test_multimodal_oracle_twin_matches_operator(spark, edge_docs):
+    """Round-3 pixel path over the unicode/empty edge docs: text -> BMP
+    -> real decode -> features == the byte-direct sequential twin."""
     from theoremkb_spark.corpus.dedup_oracle import multimodal_expected
+    from theoremkb_spark.operators.multimodal import (
+        image_pixel_features,
+        text_to_bmp_udf,
+    )
 
-    payloads = edge_docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    feats = extract_features(payloads, "doc_id", "payload")
+    payloads = edge_docs.select(
+        "doc_id", text_to_bmp_udf()(F.col("text")).alias("payload")
+    )
+    feats = image_pixel_features(payloads, "doc_id", "payload")
     got = sorted(
-        (r.id, r.n_bytes, r.f0, r.f1)
-        for r in feats.select(
-            "id",
-            "n_bytes",
-            F.round(F.element_at("features", 1), 6).alias("f0"),
-            F.round(F.element_at("features", 2), 6).alias("f1"),
-        ).collect()
+        (r.id, r.n_bytes, r.width, r.height, r.mean_r, r.mean_g, r.mean_b, r.luma_std)
+        for r in feats.collect()
     )
     docs = [(r.doc_id, r.text) for r in edge_docs.collect()]
-    assert got == multimodal_expected(docs)
+    assert got == sorted(multimodal_expected(docs))
 
 
 def test_fuzzy_link_twin_matches_operator(spark, edge_docs):
@@ -427,3 +430,83 @@ def test_char_shingles_twin(spark):
         got[r.id].add(r.shingle)
     for i, s in enumerate(cases):
         assert got[i] == char_shingles_py(s), repr(s)
+
+
+# ---- real BMP codec (round-3: the decode stage made real) ---------------
+
+
+def test_bmp_decode_spec_pinned():
+    """Decode a BY-HAND BMP built from the spec (not from encode_bmp24),
+    so the decoder is pinned to the on-disk format — bottom-up row
+    order, BGR channel order, 4-byte row padding — independent of the
+    encoder."""
+    import struct
+
+    import numpy as np
+
+    from theoremkb_spark.operators.multimodal import decode_bmp24
+
+    # 2x2, 24-bit: rows are 6 bytes padded to 8; bottom row stored first
+    w, h, stride = 2, 2, 8
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + stride * h, 0, 0, 54,
+        40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0,
+    )
+    bottom = bytes([255, 0, 0,  30, 20, 10,  0, 0])   # (0,0,255),(10,20,30) in RGB
+    top = bytes([0, 0, 255,  0, 255, 0,  0, 0])       # (255,0,0),(0,255,0) in RGB
+    px = decode_bmp24(header + bottom + top)
+    expected = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    assert px.shape == (2, 2, 3)
+    assert (px == expected).all()
+
+
+def test_bmp_roundtrip_and_topdown():
+    import struct
+
+    import numpy as np
+
+    from theoremkb_spark.operators.multimodal import decode_bmp24, encode_bmp24
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (7, 2), (16, 16), (4, 3)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp24(encode_bmp24(arr)) == arr).all()
+
+    # top-down variant (negative height) must decode without the flip
+    arr = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    enc = bytearray(encode_bmp24(arr[::-1]))  # encoder stores bottom-up
+    struct.pack_into("<i", enc, 22, -2)  # declare top-down
+    assert (decode_bmp24(bytes(enc)) == arr[::-1][::-1]).all()
+
+
+def test_bmp_non_bmp_routes_to_env_gated_branch():
+    from theoremkb_spark.operators.multimodal import decode_bmp24
+
+    with pytest.raises(NotImplementedError):
+        decode_bmp24(b"\x89PNG not a bmp at all, long enough to pass length")
+
+
+def test_image_pixel_features_match_sequential_twin(spark, docs):
+    """The full image path — text -> BMP payload -> REAL decode ->
+    pixel features — against the sequential twin that computes the same
+    features from the document bytes directly (the BMP container never
+    appears on the oracle side, so encode+decode are both under test)."""
+    from theoremkb_spark.corpus.dedup_oracle import multimodal_expected
+    from theoremkb_spark.operators.multimodal import (
+        image_pixel_features,
+        text_to_bmp_udf,
+    )
+
+    payloads = docs.select(
+        "doc_id", text_to_bmp_udf()(F.col("text")).alias("payload")
+    )
+    got = {
+        r.id: (r.n_bytes, r.width, r.height, r.mean_r, r.mean_g, r.mean_b, r.luma_std)
+        for r in image_pixel_features(payloads, "doc_id", "payload").collect()
+    }
+    rows = [(r[0], r[1]) for r in docs.orderBy("doc_id").collect()]
+    exp = {t[0]: tuple(t[1:]) for t in multimodal_expected(rows)}
+    assert got == exp

@@ -382,22 +382,38 @@ def _round6(x: float) -> float:
 
 
 def multimodal_expected(
-    docs: list[tuple[int, str | None]], bins: int = 16
-) -> list[tuple[int, int, float, float]]:
-    """Expected (id, n_bytes, f0, f1) rows of the multimodal_features
-    query: UTF-8 payload byte count + first two normalized high-nibble
-    histogram bins."""
+    docs: list[tuple[int, str | None]], width: int = 16, height: int = 16
+) -> list[tuple[int, int, int, int, float, float, float, float]]:
+    """Expected rows of the multimodal_features query: pixel features
+    computed from the document bytes DIRECTLY (bytes -> (h, w, 3) RGB
+    grid), never through the BMP container — so the Spark side's
+    encode_bmp24 -> decode_bmp24 roundtrip is gated, not mirrored.
+    n_bytes is the only container-derived value: 54-byte header +
+    4-byte-padded rows (the BMP spec, restated independently here).
+    Same numpy reduction order as the Arrow featurizer (np.mean /
+    np.std use pairwise summation; a naive sequential sum can differ
+    in the last ulp and flip a round-to-6)."""
+    import numpy as np
+
+    stride = (width * 3 + 3) & ~3
+    n_bytes = 54 + stride * height
     out = []
+    n = width * height * 3
     for i, t in docs:
-        payload = (t or "").encode("utf-8")
-        n = len(payload)
-        if n == 0:
-            out.append((i, 0, 0.0, 0.0))
-            continue
-        counts = [0] * bins
-        for byte in payload:
-            counts[byte >> 4] += 1
-        out.append((i, n, _round6(counts[0] / n), _round6(counts[1] / n)))
+        b = (t or "").encode("utf-8")[:n]
+        arr = np.zeros(n, dtype=np.uint8)
+        arr[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+        px = arr.reshape(height, width, 3).astype(np.float64)
+        luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        out.append(
+            (
+                i, n_bytes, width, height,
+                round(float(px[:, :, 0].mean()), 6),
+                round(float(px[:, :, 1].mean()), 6),
+                round(float(px[:, :, 2].mean()), 6),
+                round(float(luma.std()), 6),
+            )
+        )
     return out
 
 
@@ -450,8 +466,12 @@ def ensure_dedup_oracles(sf_dir: str, out_dir: str) -> dict[str, str]:
         {
             "id": pa.array([r[0] for r in mm], pa.int64()),
             "n_bytes": pa.array([r[1] for r in mm], pa.int32()),
-            "f0": pa.array([r[2] for r in mm], pa.float64()),
-            "f1": pa.array([r[3] for r in mm], pa.float64()),
+            "width": pa.array([r[2] for r in mm], pa.int32()),
+            "height": pa.array([r[3] for r in mm], pa.int32()),
+            "mean_r": pa.array([r[4] for r in mm], pa.float64()),
+            "mean_g": pa.array([r[5] for r in mm], pa.float64()),
+            "mean_b": pa.array([r[6] for r in mm], pa.float64()),
+            "luma_std": pa.array([r[7] for r in mm], pa.float64()),
         }
     )
 

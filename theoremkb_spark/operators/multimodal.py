@@ -35,10 +35,119 @@ def _decode_image(payload: bytes):  # pragma: no cover - env-gated
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image decode requires PIL; not available in this image — "
-            "byte_histogram_features is the deterministic stand-in"
+            "non-BMP image decode requires PIL; not available in this "
+            "image — decode_bmp24 handles BMP natively"
         ) from exc
     raise NotImplementedError("real decode path: Image.open(BytesIO(payload))")
+
+
+# ---- real, dependency-free image codec (24-bit uncompressed BMP) --------
+#
+# The container ships no PIL/ffmpeg, but a 24-bit BI_RGB BMP needs only
+# struct + numpy — so the decode stage of the image pipeline is REAL for
+# BMP payloads (header parse, bottom-up row order, 4-byte row padding,
+# BGR channel order), with the env-gated PIL branch kept for other
+# formats.
+
+_BMP_HEADER = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def encode_bmp24(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB array -> 24-bit uncompressed BMP bytes
+    (bottom-up rows, BGR on disk, rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", _BMP_HEADER + img_size, 0, 0, _BMP_HEADER,
+        40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip rows, RGB->BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp24(payload: bytes):
+    """BMP bytes -> (h, w, 3) uint8 RGB array. Real decoder for 24-bit
+    BI_RGB (uncompressed) BMPs; anything else routes to the env-gated
+    PIL branch."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < _BMP_HEADER or payload[:2] != b"BM":
+        return _decode_image(payload)
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        return _decode_image(payload)
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("luma_std", T.DoubleType(), False),
+    ]
+)
+
+
+def image_pixel_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, payload binary) -> per-image PIXEL features via the real BMP
+    decode: dimensions, per-channel means, luminance std (population).
+    Arrow-batched mapInPandas — decode cost amortizes per batch and the
+    binary payloads never cross the driver."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                px = decode_bmp24(payload).astype(np.float64)
+                h, w, _ = px.shape
+                luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                rows.append(
+                    (
+                        int(i), len(payload), w, h,
+                        round(float(px[:, :, 0].mean()), 6),
+                        round(float(px[:, :, 1].mean()), 6),
+                        round(float(px[:, :, 2].mean()), 6),
+                        round(float(luma.std()), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "n_bytes", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "luma_std",
+                ],
+            )
+
+    return src.mapInPandas(featurize, schema=IMAGE_FEATURE_SCHEMA)
 
 
 def byte_histogram(payload: bytes, bins: int = 16) -> list[float]:
@@ -70,6 +179,31 @@ def extract_features(
             )
 
     return src.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def text_pixels(text: str | None, width: int = 16, height: int = 16):
+    """Deterministic (h, w, 3) uint8 pixel array from a document's UTF-8
+    bytes (truncated / zero-padded) — the no-external-data image source
+    both the Spark query and the sequential oracle derive from."""
+    import numpy as np
+
+    n = width * height * 3
+    b = (text or "").encode("utf-8")[:n]
+    arr = np.zeros(n, dtype=np.uint8)
+    arr[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return arr.reshape(height, width, 3)
+
+
+def text_to_bmp_udf(width: int = 16, height: int = 16):
+    """pandas UDF: text column -> real 24-bit BMP payload bytes."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_bmp(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_bmp24(text_pixels(t, width, height)) for t in texts]
+        )
+
+    return to_bmp
 
 
 # ---- typed media metadata + frame sampling + resize ---------------------

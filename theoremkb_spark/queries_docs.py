@@ -307,19 +307,23 @@ ORDER BY id_a, id_b
 
 
 def q_multimodal_features(spark, sf):
-    """Binary-payload feature extraction plumbing: documents text
-    re-encoded as an opaque binary payload, Arrow-batched byte-histogram
-    featurizer. Oracle: the sequential twin in corpus/dedup_oracle.py,
-    materialized to parquet by __spark_entry__."""
+    """Image-column pipeline with a REAL decode stage: each document's
+    bytes become a 16x16 24-bit BMP payload (opaque binary column), then
+    the dependency-free BMP decoder (operators/multimodal.py::
+    decode_bmp24 — header parse, bottom-up rows, 4-byte padding, BGR)
+    recovers the pixels and emits pixel-derived features (channel means,
+    luminance std). Oracle: the sequential twin computes the same
+    features from the document bytes DIRECTLY (never touching the BMP
+    container), so the encode->decode roundtrip and the feature math are
+    both under the gate. Non-BMP formats keep the env-gated PIL branch."""
+    from .operators.multimodal import image_pixel_features, text_to_bmp_udf
+
     d = _t(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id", text_to_bmp_udf()(F.col("text")).alias("payload")
     )
-    feats = extract_features(d, "doc_id", "payload")
+    feats = image_pixel_features(d, "doc_id", "payload")
     return feats.select(
-        "id",
-        "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 2), 6).alias("f1"),
+        "id", "n_bytes", "width", "height", "mean_r", "mean_g", "mean_b", "luma_std"
     ).orderBy("id")
 
 
