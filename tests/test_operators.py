@@ -210,3 +210,49 @@ def test_pagerank_random_graphs_match_twin(spark):
         for v in exp:
             assert abs(got[v] - exp[v]) < 1e-12, (seed, v)
         assert abs(sum(got.values()) - 1.0) < 1e-9, seed
+
+
+def test_connected_components_distributed_randomized(spark):
+    """Distributed min-label-propagation (driver_threshold=0) vs an
+    in-test union-find oracle on a RANDOMIZED graph: random edges over
+    60 nodes (cycles, hubs, self-loops, duplicate edges) plus isolated
+    pairs — seeded, so failures reproduce."""
+    import random
+
+    rng = random.Random(1234)
+    nodes = [f"v{i:02d}" for i in range(60)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+    edges += [("p0", "p1"), ("q5", "q5")]  # isolated pair + pure self-loop
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    touched = set()
+    for s, d in edges:
+        if s != d:
+            union(s, d)
+            touched.update((s, d))
+    # min-id canonical component per touched node (self-loop-only nodes
+    # are filtered by the operator, matching its id != nbr contract)
+    roots = {}
+    for n in sorted(touched):
+        roots.setdefault(find(n), n)
+    expected = {(n, roots[find(n)]) for n in touched}
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.id, r.component)
+        for r in connected_components(df, driver_threshold=0, max_iter=40).collect()
+    }
+    assert got == expected

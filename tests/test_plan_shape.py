@@ -100,3 +100,49 @@ def test_scan_pruning_on_docs_queries(spark):
     for s in scans:
         cols = {c.split("#")[0] for c in s.split(",")}
         assert "html" not in cols and "embedding" not in cols, cols
+
+
+# ---- frozen plan invariants for EVERY headline query (VERDICT r2 #8) ----
+#
+# Upper bounds, not exact counts: a Spark upgrade may legally merge
+# exchanges, but a regression that ADDS a shuffle, drops a broadcast, or
+# sneaks in a quadratic join must fail here, not in a 100 TB run.
+# ann_cosine_topk is the one deliberate exception: its nested-loop join
+# IS the documented brute-force baseline (scale paths: ann_bucketed /
+# ann_ivf, both equi-join only).
+
+import pytest
+
+# query -> (max_exchanges, max_smj, max_cartesian)
+_HEADLINE_BOUNDS = {
+    "agg_pricing_summary": (3, 0, 0),
+    "join_broadcast_revenue": (2, 0, 0),
+    "join_range_containment": (2, 0, 0),
+    "win_gaps_islands": (2, 0, 0),
+    "win_deltas": (2, 0, 0),
+    "sort_argmax": (2, 0, 0),
+    "text_stats": (1, 0, 0),
+    "dedup_ngram_jaccard": (6, 1, 0),
+    "dedup_minhash_lsh": (7, 0, 0),
+    "dedup_simhash": (2, 0, 0),
+    "ann_cosine_topk": (2, 0, 1),
+    "link_fuzzy_lsh": (4, 0, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_HEADLINE_BOUNDS))
+def test_headline_plan_invariants(spark, name):
+    from theoremkb_spark.plancheck import plan_facts, plan_string
+    from theoremkb_spark.queries import QUERIES_CORE
+    from theoremkb_spark.queries_docs import QUERIES_DOCS
+
+    registry = {**QUERIES_CORE, **QUERIES_DOCS}
+    df = registry[name][0](spark, "/root/testdata/sf0.001")
+    f = plan_facts(plan_string(df))
+    max_ex, max_smj, max_cart = _HEADLINE_BOUNDS[name]
+    assert f["exchanges"] <= max_ex, (name, f)
+    assert f["sort_merge_joins"] <= max_smj, (name, f)
+    assert f["cartesian"] <= max_cart, (name, f)
+    # document scans must never drag the heavy unused columns
+    for cols, _pf in f["scans"]:
+        assert "html" not in cols, (name, cols)

@@ -147,19 +147,27 @@ def ngram_jaccard_pairs(
     if max_doc_freq is None:
         blk, sh_hot = sh, None
     else:
+        # cache the WINDOWED table: it feeds four consumers (blk and hot,
+        # each on both sides of a self-join) — uncached, the count window
+        # and its shingle exchange recompute four times (the round-2 plan
+        # measured 11 distinct exchanges; cached it is one, and the
+        # cached partitioning is what every shingle-keyed consumer reuses)
         with_df = sh.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
+        ).cache()
         blk = with_df.filter(F.col("_df") <= max_doc_freq).select("id", "shingle")
         sh_hot = with_df.filter(F.col("_df") > max_doc_freq).select("id", "shingle")
 
     a = blk.select(F.col("id").alias("id_a"), "shingle")
     b = blk.select(F.col("id").alias("id_b"), "shingle")
+    # cached: consumed by the hot add-back AND the final join — uncached,
+    # the entire blocking self-join would execute twice
     common_blk = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c_blk"))
+        .cache()
     )
 
     if sh_hot is None:
@@ -183,7 +191,9 @@ def ngram_jaccard_pairs(
             )
         )
 
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # cached: the per-doc size table is joined on both pair sides —
+    # uncached, the groupBy (and its exchange) runs twice
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).cache()
     jac = (
         F.col("common").cast("decimal(18,6)")
         / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("decimal(18,6)")
