@@ -141,3 +141,77 @@ def test_viterbi_matches_exhaustive_argmax():
         best = tuple(paths[int(np.argmax(scores))])  # first max wins ties
         got = tuple(int(x) for x in m.viterbi(ids, flags))
         assert got == best, (trial, got, best)
+
+
+# ---- TRUE CRF trainer (lbfgs/OWL-QN on the exact NLL, ml/crf_lbfgs) -----
+
+
+def test_owlqn_lasso_matches_closed_form():
+    """The from-scratch optimizer on min 0.5||x-b||^2 + c1||x||_1, whose
+    exact solution is the soft-threshold of b — L1 handling is the part
+    plain L-BFGS can't do, so it is pinned against the closed form."""
+    from theoremkb_spark.ml.crf_lbfgs import owlqn_minimize
+
+    b = np.array([3.0, -0.5, 0.05, -2.0, 0.0, 0.31, -0.29])
+    c1 = 0.3
+    x, _ = owlqn_minimize(
+        lambda x: (0.5 * ((x - b) ** 2).sum(), x - b), np.zeros(len(b)), c1=c1
+    )
+    expected = np.sign(b) * np.maximum(np.abs(b) - c1, 0.0)
+    assert np.abs(x - expected).max() < 1e-8
+
+
+def test_crf_nll_gradient_matches_finite_differences():
+    """The scaled-linear forward-backward gradient vs central finite
+    differences on random weights/inputs — the exactness the lbfgs
+    direction depends on."""
+    from theoremkb_spark.ml.crf import N_FLAGS
+    from theoremkb_spark.ml.crf_lbfgs import C, _objective
+
+    rng = np.random.default_rng(3)
+    vs, n = 6, 7
+    shapes = ((vs, C), (N_FLAGS, C), (C + 1, C))
+    docs = [
+        (
+            rng.integers(0, vs, n),
+            rng.integers(0, 2, (n, N_FLAGS)).astype(float),
+            rng.integers(0, C, n),
+        )
+        for _ in range(2)
+    ]
+    theta = rng.normal(0, 0.3, vs * C + N_FLAGS * C + (C + 1) * C)
+    _f, g = _objective(theta, shapes, docs, c2=0.1)
+    eps = 1e-6
+    for i in rng.choice(len(theta), 30, replace=False):
+        tp, tm = theta.copy(), theta.copy()
+        tp[i] += eps
+        tm[i] -= eps
+        num = (
+            _objective(tp, shapes, docs, 0.1)[0]
+            - _objective(tm, shapes, docs, 0.1)[0]
+        ) / (2 * eps)
+        assert abs(num - g[i]) < 1e-6, (i, num, g[i])
+
+
+def test_crf_lbfgs_trains_and_generalizes_exactly():
+    """The reference's actual training algorithm (crf.py:136-142: lbfgs,
+    c1=0.1, c2=0.1, max_iter<=500) reimplemented from scratch: trains to
+    decode-exact on the gold tags AND decodes NEVER-SEEN documents'
+    gold exactly. Shares the weight layout with the shipped perceptron
+    artifact, so the Arrow inference stage applies either unchanged."""
+    from theoremkb_spark.ml.crf_lbfgs import train_crf
+
+    art = train_crf(n_docs=12, c1=0.1, c2=0.1, max_iter=500)
+    assert art["kind"] == "chain-crf-lbfgs"
+    assert art["train_errors"] == 0
+    assert art["iters"] <= 500
+
+    held = _training_docs(28, 42)[art["train_docs"]:]
+    assert held, "held-out slice must be non-empty"
+    m = ChainPerceptron(art["vocab"])
+    m.Wp, m.Wf, m.T = art["Wp"], art["Wf"], art["T"]
+    for pats, flags, gold in held:
+        ids = np.fromiter(
+            (art["vocab"].get(p, 0) for p in pats), dtype=np.int64, count=len(pats)
+        )
+        assert np.array_equal(m.viterbi(ids, flags), gold)
