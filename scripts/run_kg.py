@@ -52,6 +52,16 @@ def main() -> None:
         help="with --store: cap each committed batch at this many documents"
         " (default: everything pending in one batch)",
     )
+    ap.add_argument(
+        "--trainer",
+        default=None,
+        choices=["perceptron", "lbfgs"],
+        help="train a sequence-model artifact on the fly and label with it"
+        " (overrides --model): 'perceptron' = the fast chain perceptron,"
+        " 'lbfgs' = the reference's actual CRF algorithm (exact NLL +"
+        " OWL-QN elastic net, ml/crf_lbfgs.py)",
+    )
+    ap.add_argument("--train-docs", type=int, default=40)
     args = ap.parse_args()
 
     import os
@@ -64,6 +74,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     model_file = args.model
+    if args.trainer:
+        from theoremkb_spark.ml.crf import save_artifact, train
+
+        if args.trainer == "lbfgs":
+            from theoremkb_spark.ml.crf_lbfgs import train_crf
+
+            art = train_crf(n_docs=args.train_docs, seed=args.seed)
+        else:
+            art = train(n_docs=args.train_docs, seed=args.seed)
+        if art["train_errors"]:
+            raise SystemExit(f"trainer failed to fit gold: {art['train_errors']} docs")
+        model_file = f"/tmp/run_kg_model_{args.trainer}.pkl"
+        save_artifact(art, model_file)
     if model_file and os.path.exists(model_file):
         spark.sparkContext.addFile(model_file)
         model_file = os.path.basename(model_file)
