@@ -55,7 +55,7 @@ def main() -> None:
     ap.add_argument(
         "--trainer",
         default=None,
-        choices=["perceptron", "lbfgs"],
+        choices=["perceptron", "lbfgs", "cnn1d"],
         help="train a sequence-model artifact on the fly and label with it"
         " (overrides --model): 'perceptron' = the fast chain perceptron,"
         " 'lbfgs' = the reference's actual CRF algorithm (exact NLL +"
@@ -81,6 +81,10 @@ def main() -> None:
             from theoremkb_spark.ml.crf_lbfgs import train_crf
 
             art = train_crf(n_docs=args.train_docs, seed=args.seed)
+        elif args.trainer == "cnn1d":
+            from theoremkb_spark.ml.cnn1d import train_cnn1d
+
+            art = train_cnn1d(n_docs=args.train_docs, seed=args.seed)
         else:
             art = train(n_docs=args.train_docs, seed=args.seed)
         if art["train_errors"]:

@@ -215,3 +215,86 @@ def test_crf_lbfgs_trains_and_generalizes_exactly():
             (art["vocab"].get(p, 0) for p in pats), dtype=np.int64, count=len(pats)
         )
         assert np.array_equal(m.viterbi(ids, flags), gold)
+
+
+# ---- CNN1D context-window tagger (M5, ml/cnn1d.py) ----------------------
+
+
+def test_cnn1d_gradients_match_finite_differences():
+    from theoremkb_spark.ml.crf import N_FLAGS
+    from theoremkb_spark.ml.cnn1d import CNN1DTagger
+
+    rng = np.random.default_rng(5)
+    vocab = {f"w{i}": i for i in range(6)}
+    m = CNN1DTagger(vocab, context_size=3, emb_dim=4, hidden=8, seed=1)
+    n = 6
+    ids = rng.integers(0, 6, n)
+    flags = rng.integers(0, 2, (n, N_FLAGS)).astype(float)
+    gold = rng.integers(0, 12, n)
+    _loss, grads = m.loss_grads(ids, flags, gold)
+    eps = 1e-6
+    for p, g in zip(m.params(), grads):
+        flat = p.ravel()
+        for i in rng.choice(flat.size, min(10, flat.size), replace=False):
+            old = flat[i]
+            flat[i] = old + eps
+            lp, _ = m.loss_grads(ids, flags, gold)
+            flat[i] = old - eps
+            lm, _ = m.loss_grads(ids, flags, gold)
+            flat[i] = old
+            assert abs((lp - lm) / (2 * eps) - g.ravel()[i]) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def cnn_artifact(tmp_path_factory):
+    import pickle
+
+    from theoremkb_spark.ml.cnn1d import train_cnn1d
+
+    art = train_cnn1d(n_docs=20, max_epochs=300)
+    path = str(tmp_path_factory.mktemp("cnnart") / "cnn1d_model.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(art, f)
+    return path
+
+
+def test_cnn1d_trains_and_generalizes_exactly(cnn_artifact):
+    """Per-token window classification reaches decode-exact on training
+    AND never-seen documents — possible only because the block-head
+    opener roll-up flag carries span openness into the window (the same
+    block-level aggregate features the reference feeds its CNN)."""
+    import pickle
+
+    with open(cnn_artifact, "rb") as f:
+        art = pickle.load(f)
+    assert art["kind"] == "cnn1d-tagger"
+    assert art["train_errors"] == 0
+
+    from theoremkb_spark.ml.cnn1d import tagger_from_artifact
+
+    m = tagger_from_artifact(art)
+    held = _training_docs(44, 42)[art["train_docs"]:]
+    assert held
+    for pats, flags, gold in held:
+        ids = np.fromiter(
+            (art["vocab"].get(p, 0) for p in pats), dtype=np.int64, count=len(pats)
+        )
+        assert np.array_equal(m.viterbi(ids, flags), gold)
+
+
+def test_cnn1d_through_arrow_stage_matches_rule_labels(spark, cnn_artifact):
+    """The M1 path applies the CNN artifact unchanged (same applier
+    contract as the chain models): token-level (label, group) equality
+    with the rule labeler across whole documents."""
+    import os
+
+    spark.sparkContext.addFile(cnn_artifact)
+    pages = load_pages(spark, 24)
+    tokens = extract_tokens(pages).cache()
+    cols = ["url", "page", "block", "line", "word", "label", "group"]
+    rule = label_tokens(tokens).select(*cols)
+    ml = label_tokens_arrow(
+        tokens, model_file=os.path.basename(cnn_artifact)
+    ).select(*cols)
+    assert rule.exceptAll(ml).isEmpty() and ml.exceptAll(rule).isEmpty()
+    tokens.unpersist()
