@@ -298,3 +298,43 @@ def test_cnn1d_through_arrow_stage_matches_rule_labels(spark, cnn_artifact):
     ).select(*cols)
     assert rule.exceptAll(ml).isEmpty() and ml.exceptAll(rule).isEmpty()
     tokens.unpersist()
+
+
+# ---- transformer text classifier (M6, ml/textformer.py) -----------------
+
+
+def test_transformer_attention_gradients_match_finite_differences():
+    from theoremkb_spark.ml.textformer import TransformerClassifier, _encode
+
+    rng = np.random.default_rng(0)
+    vocab = {"<pad>": 0, "<unk>": 1, "a": 2, "b": 3, "c": 4}
+    m = TransformerClassifier(vocab, ["x", "y", "z"], d=8, ffn=10, seed=2)
+    ids = np.array([_encode("a b c a", vocab), _encode("c c b", vocab)])
+    y = np.array([0, 2])
+    _loss, grads = m.loss_grads(ids, y)
+    eps = 1e-6
+    for p, g in zip(m.params(), grads):
+        flat = p.ravel()
+        for i in rng.choice(flat.size, min(6, flat.size), replace=False):
+            old = flat[i]
+            flat[i] = old + eps
+            lp, _ = m.loss_grads(ids, y)
+            flat[i] = old - eps
+            lm, _ = m.loss_grads(ids, y)
+            flat[i] = old
+            assert abs((lp - lm) / (2 * eps) - g.ravel()[i]) < 1e-6
+
+
+def test_transformer_line_classification_heldout():
+    """M6 under the reference notebook's protocol (80/20 stratified
+    split, random_state=42, balanced frame): the from-scratch encoder
+    must reach the accuracy band the notebook reports for its
+    pretrained models (~0.95+) on the held-out 20%."""
+    from theoremkb_spark.ml.textformer import train_transformer
+
+    art = train_transformer(n_docs=40)
+    assert art["kind"] == "transformer-classifier"
+    assert art["train_acc"] == 1.0
+    assert art["test_acc"] >= 0.95, art["test_acc"]
+    # every span class present in the label space
+    assert {"theorem", "lemma", "proof", "other"} <= set(art["classes"])
