@@ -338,3 +338,70 @@ def test_transformer_line_classification_heldout():
     assert art["test_acc"] >= 0.95, art["test_acc"]
     # every span class present in the label space
     assert {"theorem", "lemma", "proof", "other"} <= set(art["classes"])
+
+
+# ---- U-Net page segmentation (M4, ml/unet.py) ---------------------------
+
+
+def test_unet_gradients_match_finite_differences():
+    """Full 13-conv U-Net backprop (im2col convs, tied maxpool routing,
+    nearest upsample, skip concats, weighted softmax loss) vs central
+    finite differences, in float64."""
+    from theoremkb_spark.ml.unet import UNetSegmenter
+
+    rng = np.random.default_rng(0)
+    net = UNetSegmenter(seed=3, dtype=np.float64)
+    X = rng.normal(0, 1, (1, 16, 16, 3))
+    gold = rng.integers(0, 3, (1, 16, 16))
+    w = np.array([1.0, 2.0, 3.0])
+    _loss, grads = net.loss_grads(X, gold, w)
+    eps = 1e-6
+    pairs = list(grads)
+    for li in rng.choice(len(pairs), 6, replace=False):
+        p, g = pairs[li]
+        flat = p.ravel()
+        for i in rng.choice(flat.size, 3, replace=False):
+            old = flat[i]
+            flat[i] = old + eps
+            lp, _ = net.loss_grads(X, gold, w)
+            flat[i] = old - eps
+            lm, _ = net.loss_grads(X, gold, w)
+            flat[i] = old
+            assert abs((lp - lm) / (2 * eps) - g.ravel()[i]) < 1e-5
+
+
+def test_unet_vote_decode_matches_reference_rule():
+    """The box-vote decode pinned against a hand fixture: summed in-box
+    probabilities, argmax, background class -> O (cnn.py:96-126)."""
+    from theoremkb_spark.ml.unet import vote_decode
+
+    probs = np.zeros((8, 8, 3))
+    probs[:, :, 0] = 0.5            # background everywhere
+    probs[0:2, 0:4, 1] = 0.9        # strong class-1 patch
+    probs[4:8, 4:8, 2] = 0.6        # class-2 patch
+    boxes = [
+        (0, 2, 0, 4, 1),   # inside the class-1 patch
+        (4, 6, 4, 8, 2),   # inside the class-2 patch
+        (2, 4, 0, 4, 0),   # background only
+        (0, 4, 0, 4, 1),   # half class-1, half background: 0.9*16 vs 0.5*32 -> background wins
+    ]
+    assert vote_decode(probs, boxes) == [1, 2, 0, 0]
+
+
+def test_unet_trains_above_majority_baseline():
+    """CI-sized training smoke (4 docs, few epochs): the segmentation
+    loss must fall and token-level vote accuracy on the TRAINING pages
+    must beat always-predict-background — proves the full
+    render->segment->vote stack trains end-to-end. (The generalization
+    number for the full run is recorded in COVERAGE.md; full training
+    is minutes-long and lives outside CI.)"""
+    from theoremkb_spark.ml.unet import render_pages, train_unet
+
+    pages = render_pages(4)
+    counts = [g for _i, _m, boxes in pages for (_, _, _, _, g) in boxes]
+    majority = max(counts.count(c) for c in set(counts)) / len(counts)
+    art = train_unet(n_docs=4, max_epochs=12)
+    assert art["train_token_acc"] > majority + 0.02, (
+        art["train_token_acc"],
+        majority,
+    )

@@ -1,0 +1,396 @@
+"""U-Net page segmentation (SURVEY §2.9 M4): the reference's
+CNNExtractor/CNNTagger (``Styling/src/lib/extractors/cnn.py``,
+``models/cnn.py::unet``) reimplemented from scratch in numpy.
+
+The reference renders each PDF page to a raster, runs a U-Net
+(Conv2D/MaxPool/UpSampling with skip concatenations, softmax per pixel)
+and then decodes per-token labels by majority vote of the pixels inside
+each token's bounding box (cnn.py:96-126 ``_labels_to_annots``). This
+twin keeps every piece of that shape:
+
+* **render**: pages rasterized from the extracted token geometry
+  (hpos/vpos/width/height) into (size, size, 3) images — channel 0 ink,
+  1 bold, 2 italic — exactly the no-external-data analogue of
+  ``paper.render()``;
+* **segment**: a 2-level U-Net (conv3x3 stacks, 4x max-pool, nearest
+  4x up-sample, skip concat, 1x1 softmax head — the reference pools 4x
+  three times at render_size 512; at render_size 64 two levels give the
+  same relative receptive field) with exact im2col backprop;
+* **decode**: per-token argmax over summed in-box class probabilities,
+  label O when the background class wins — the reference's vote rule.
+
+Classes: 0 = background/other, 1 = result statement (theorem/lemma/...),
+2 = proof. Training: Adam on class-weighted per-pixel cross-entropy
+against masks painted from the rule-gold span boxes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SIZE = 64
+N_SEG_CLASSES = 3  # background / result-statement / proof
+
+
+# --------------------------------------------------------------- layers
+
+
+def _im2col(X: np.ndarray, k: int) -> np.ndarray:
+    b, h, w, c = X.shape
+    p = k // 2
+    # np.zeros + assign, NOT np.pad/np.empty: fresh C-allocated outputs
+    # fault their pages one-by-one on this host (measured 50x slower)
+    Xp = np.zeros((b, h + 2 * p, w + 2 * p, c), dtype=X.dtype)
+    Xp[:, p : p + h, p : p + w] = X
+    cols = np.zeros((b, h, w, k * k * c), dtype=X.dtype)
+    i = 0
+    for dy in range(k):
+        for dx in range(k):
+            cols[..., i * c : (i + 1) * c] = Xp[:, dy : dy + h, dx : dx + w, :]
+            i += 1
+    return cols
+
+
+def _col2im(dcols: np.ndarray, shape, k: int) -> np.ndarray:
+    b, h, w, c = shape
+    p = k // 2
+    dXp = np.zeros((b, h + 2 * p, w + 2 * p, c), dtype=dcols.dtype)
+    i = 0
+    for dy in range(k):
+        for dx in range(k):
+            dXp[:, dy : dy + h, dx : dx + w, :] += dcols[..., i * c : (i + 1) * c]
+            i += 1
+    return dXp[:, p : p + h, p : p + w, :]
+
+
+def _elu(x):
+    return np.where(x > 0, x, np.expm1(x))
+
+
+def _elu_grad(x, y):
+    return np.where(x > 0, 1.0, y + 1.0)
+
+
+class _Conv:
+    """3x3 (or 1x1) same-padding conv + optional ELU, exact backprop."""
+
+    def __init__(self, rng, c_in: int, c_out: int, k: int = 3, act: bool = True,
+                 dtype=np.float32):
+        self.k, self.act = k, act
+        self.W = rng.normal(
+            0.0, np.sqrt(2.0 / (k * k * c_in)), (k * k * c_in, c_out)
+        ).astype(dtype)
+        self.b = np.zeros(c_out, dtype=dtype)
+
+    def forward(self, X):
+        self._shape = X.shape
+        self._cols = _im2col(X, self.k) if self.k > 1 else X[..., None, :].reshape(
+            *X.shape[:3], -1
+        )
+        A = self._cols @ self.W + self.b
+        Y = _elu(A) if self.act else A
+        self._A, self._Y = A, Y
+        return Y
+
+    def backward(self, dY):
+        dA = dY * _elu_grad(self._A, self._Y) if self.act else dY
+        self.dW = np.tensordot(self._cols, dA, axes=([0, 1, 2], [0, 1, 2]))
+        self.db = dA.sum(axis=(0, 1, 2))
+        # pre-touched output buffer + out=: matmul's own fresh result
+        # allocation pays the per-page fault storm (see _im2col note)
+        dcols = np.zeros(self._cols.shape, dtype=self._cols.dtype)
+        np.matmul(np.asarray(dA, dtype=self._cols.dtype), self.W.T, out=dcols)
+        if self.k > 1:
+            return _col2im(dcols, self._shape, self.k)
+        return dcols.reshape(self._shape)
+
+    def params_grads(self):
+        return [(self.W, self.dW), (self.b, self.db)]
+
+
+def _maxpool(X, f: int):
+    b, h, w, c = X.shape
+    Xr = X.reshape(b, h // f, f, w // f, f, c)
+    Y = Xr.max(axis=(2, 4))
+    mask = Xr == Y[:, :, None, :, None, :]
+    # exact ties split the gradient equally (counts in _maxpool_back);
+    # continuous conv outputs make ties vanishingly rare in practice
+    return Y, mask, (b, h, w, c)
+
+
+def _maxpool_back(dY, mask, shape, f: int):
+    b, h, w, c = shape
+    counts = mask.sum(axis=(2, 4), keepdims=True)
+    dXr = mask / counts * dY[:, :, None, :, None, :]
+    return dXr.reshape(b, h, w, c)
+
+
+def _upsample(X, f: int):
+    b, h, w, c = X.shape
+    out = np.zeros((b, h * f, w * f, c), dtype=X.dtype)
+    out.reshape(b, h, f, w, f, c)[...] = X[:, :, None, :, None, :]
+    return out
+
+
+def _upsample_back(dY, f: int):
+    b, h, w, c = dY.shape
+    return dY.reshape(b, h // f, f, w // f, f, c).sum(axis=(2, 4))
+
+
+class UNetSegmenter:
+    """2-level U-Net: enc1(3->16,16) pool4 enc2(->32,32) pool4
+    bottleneck(->64,64) up4+conv(->32) skip-concat conv(->32,32)
+    up4+conv(->16) skip-concat conv(->16,16) head 1x1 softmax."""
+
+    def __init__(self, seed: int = 0, c_in: int = 3, dtype=np.float32):
+        rng = np.random.default_rng(seed)
+        self.dtype = dtype
+        self.e1a = _Conv(rng, c_in, 16, dtype=dtype)
+        self.e1b = _Conv(rng, 16, 16, dtype=dtype)
+        self.e2a = _Conv(rng, 16, 32, dtype=dtype)
+        self.e2b = _Conv(rng, 32, 32, dtype=dtype)
+        self.ba = _Conv(rng, 32, 64, dtype=dtype)
+        self.bb = _Conv(rng, 64, 64, dtype=dtype)
+        self.u2 = _Conv(rng, 64, 32, dtype=dtype)
+        self.d2a = _Conv(rng, 64, 32, dtype=dtype)
+        self.d2b = _Conv(rng, 32, 32, dtype=dtype)
+        self.u1 = _Conv(rng, 32, 16, dtype=dtype)
+        self.d1a = _Conv(rng, 32, 16, dtype=dtype)
+        self.d1b = _Conv(rng, 16, 16, dtype=dtype)
+        self.head = _Conv(rng, 16, N_SEG_CLASSES, k=1, act=False, dtype=dtype)
+        self.layers = [
+            self.e1a, self.e1b, self.e2a, self.e2b, self.ba, self.bb,
+            self.u2, self.d2a, self.d2b, self.u1, self.d1a, self.d1b, self.head,
+        ]
+
+    def forward(self, X, drop_rng=None, p_drop: float = 0.25):
+        """``drop_rng`` non-None enables bottleneck dropout (training
+        only) — with ~100 training pages the unregularized net memorizes
+        layouts (held-out vote accuracy DROPS with more epochs); the
+        reference regularizes every conv (l1_l2(1e-2)) for the same
+        reason."""
+        X = np.asarray(X, dtype=self.dtype)
+        s1 = self.e1b.forward(self.e1a.forward(X))
+        p1, self._m1, self._s1shape = _maxpool(s1, 4)
+        s2 = self.e2b.forward(self.e2a.forward(p1))
+        p2, self._m2, self._s2shape = _maxpool(s2, 4)
+        bt = self.bb.forward(self.ba.forward(p2))
+        if drop_rng is not None:
+            self._dropmask = (
+                drop_rng.random(bt.shape) >= p_drop
+            ).astype(self.dtype) / (1.0 - p_drop)
+            bt = bt * self._dropmask
+        else:
+            self._dropmask = None
+        up2 = self.u2.forward(_upsample(bt, 4))
+        c2 = np.concatenate([s2, up2], axis=3)
+        d2 = self.d2b.forward(self.d2a.forward(c2))
+        up1 = self.u1.forward(_upsample(d2, 4))
+        c1 = np.concatenate([s1, up1], axis=3)
+        d1 = self.d1b.forward(self.d1a.forward(c1))
+        logits = self.head.forward(d1)
+        m = logits.max(axis=-1, keepdims=True)
+        e = np.exp(logits - m)
+        self._probs = e / e.sum(axis=-1, keepdims=True)
+        return self._probs
+
+    def loss_grads(self, X, gold, class_weights=None, drop_rng=None):
+        """Weighted per-pixel cross-entropy; returns (loss, grads list)."""
+        probs = self.forward(X, drop_rng=drop_rng)
+        b, h, w, c = probs.shape
+        if class_weights is None:
+            class_weights = np.ones(c)
+        wpix = class_weights[gold]  # (b, h, w)
+        norm = wpix.sum()
+        pg = probs[np.arange(b)[:, None, None], np.arange(h)[None, :, None],
+                   np.arange(w)[None, None, :], gold]
+        loss = float(-(wpix * np.log(pg + 1e-300)).sum() / norm)
+
+        dlogits = probs * wpix[..., None]
+        onehot = np.zeros_like(probs)
+        onehot[np.arange(b)[:, None, None], np.arange(h)[None, :, None],
+               np.arange(w)[None, None, :], gold] = 1.0
+        dlogits -= onehot * wpix[..., None]
+        dlogits /= norm
+
+        d1 = self.head.backward(dlogits)
+        dc1 = self.d1a.backward(self.d1b.backward(d1))
+        ds1_a, dup1 = dc1[..., :16], dc1[..., 16:]
+        dd2 = _upsample_back(self.u1.backward(dup1), 4)
+        dc2 = self.d2a.backward(self.d2b.backward(dd2))
+        ds2_a, dup2 = dc2[..., :32], dc2[..., 32:]
+        dbt = _upsample_back(self.u2.backward(dup2), 4)
+        if self._dropmask is not None:
+            dbt = dbt * self._dropmask
+        dp2 = self.ba.backward(self.bb.backward(dbt))
+        ds2 = ds2_a + _maxpool_back(dp2, self._m2, self._s2shape, 4)
+        dp1 = self.e2a.backward(self.e2b.backward(ds2))
+        ds1 = ds1_a + _maxpool_back(dp1, self._m1, self._s1shape, 4)
+        self.e1a.backward(self.e1b.backward(ds1))
+
+        grads = [pg_ for layer in self.layers for pg_ in layer.params_grads()]
+        return loss, grads
+
+    def params_grads(self):
+        return [pg for layer in self.layers for pg in layer.params_grads()]
+
+
+# ---------------------------------------------------- rendering + decode
+
+
+def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE):
+    """Deterministic page rasters from the extracted token geometry —
+    the no-external-data analogue of the reference's ``paper.render()``.
+    Returns [(img (size,size,3), gold_mask (size,size) int8,
+    boxes [(y0,y1,x0,x1,gold_cls)])] — one entry per page."""
+    from ..corpus.generator import build_corpus, render_html
+    from ..pipeline.extract import _parse_tokens
+    from .crf import gold_bio
+
+    out = []
+    for doc, _targets in build_corpus(n_docs, seed):
+        if doc.lang != "en":
+            continue
+        toks = _parse_tokens(doc.url, render_html(doc))
+        if not toks:
+            continue
+        texts = [t[5] for t in toks]
+        line = [t[3] for t in toks]
+        word = [t[4] for t in toks]
+        italic = [bool(t[11]) for t in toks]
+        bold = [bool(t[13]) for t in toks]
+        tags = gold_bio(list(zip(line, word, texts, italic, bold)))
+        # span label per token -> segmentation class
+        cls = []
+        open_lab = None
+        for tag in tags:
+            if tag.startswith("B-"):
+                open_lab = tag[2:]
+            elif tag != "I":
+                open_lab = None
+            cls.append(0 if open_lab is None else (2 if open_lab == "proof" else 1))
+
+        pages = sorted({t[1] for t in toks})
+        for pg in pages:
+            sel = [i for i, t in enumerate(toks) if t[1] == pg]
+            xs = [toks[i][6] for i in sel]
+            ys = [toks[i][7] for i in sel]
+            ws = [toks[i][8] for i in sel]
+            hs = [toks[i][9] for i in sel]
+            if not xs:
+                continue
+            max_x = max(x + w for x, w in zip(xs, ws)) or 1.0
+            max_y = max(y + h for y, h in zip(ys, hs)) or 1.0
+            sx, sy = (size - 1) / max_x, (size - 1) / max_y
+            img = np.zeros((size, size, 3))
+            mask = np.zeros((size, size), dtype=np.int8)
+            boxes = []
+            for i in sel:
+                x0 = int(toks[i][6] * sx)
+                x1 = max(x0 + 1, int((toks[i][6] + toks[i][8]) * sx))
+                y0 = int(toks[i][7] * sy)
+                y1 = max(y0 + 1, int((toks[i][7] + toks[i][9]) * sy))
+                img[y0:y1, x0:x1, 0] = 1.0
+                if bold[i]:
+                    img[y0:y1, x0:x1, 1] = 1.0
+                if italic[i]:
+                    img[y0:y1, x0:x1, 2] = 1.0
+                mask[y0:y1, x0:x1] = cls[i]
+                boxes.append((y0, y1, x0, x1, cls[i]))
+            out.append((img, mask, boxes))
+    return out
+
+
+def vote_decode(probs: np.ndarray, boxes) -> list[int]:
+    """The reference's _labels_to_annots vote rule: per token, sum class
+    probabilities over the pixels of its box, argmax; background class
+    wins -> O."""
+    out = []
+    for y0, y1, x0, x1, _g in boxes:
+        votes = probs[y0:y1, x0:x1].sum(axis=(0, 1))
+        out.append(int(np.argmax(votes)))
+    return out
+
+
+def train_unet(
+    n_docs: int = 24,
+    seed: int = 42,
+    max_epochs: int = 60,
+    lr: float = 2e-3,
+    batch: int = 8,
+    heldout_frac: float = 0.25,
+    weight_decay: float = 1e-3,
+):
+    """Train on the first (1 - heldout_frac) of pages, report token-level
+    vote-decode accuracy on both splits."""
+    pages = render_pages(n_docs, seed)
+    n_hold = max(1, int(len(pages) * heldout_frac))
+    train_pages, held_pages = pages[:-n_hold], pages[-n_hold:]
+    X = np.stack([p[0] for p in train_pages])
+    Y = np.stack([p[1] for p in train_pages]).astype(np.int64)
+    weights = np.array([1.0, 6.0, 6.0])  # background dominates pixels
+
+    net = UNetSegmenter(seed=7)
+    params = [p for layer in net.layers for p in (layer.W, layer.b)]
+    ms = [np.zeros_like(p) for p in params]
+    vs = [np.zeros_like(p) for p in params]
+    b1, b2, eps, t = 0.9, 0.999, 1e-8, 0
+    rng = np.random.default_rng(seed)
+
+    def token_acc(split, styled_only: bool = False):
+        """styled_only=True restricts to tokens inside styled (bold or
+        italic channel) boxes — the subset whose class IS visually
+        determined in this corpus. Block pitch equals line pitch in the
+        synthetic geometry (no paragraph gap, no indent), so a span's
+        EXTENT below its styled opener is not recoverable from pixels;
+        real PDFs (the reference's input) carry visible paragraph
+        spacing. Splitting the metric keeps the ceiling honest."""
+        good = total = 0
+        for img, _m, boxes in split:
+            probs = net.forward(img[None])[0]
+            pred = vote_decode(probs, boxes)
+            for p, (y0, y1, x0, x1, g) in zip(pred, boxes):
+                if styled_only and not (
+                    img[y0:y1, x0:x1, 1].any() or img[y0:y1, x0:x1, 2].any()
+                ):
+                    continue
+                good += int(p == g)
+                total += 1
+        return good / max(total, 1)
+
+    last_loss = float("inf")
+    for epoch in range(max_epochs):
+        order = rng.permutation(len(X))
+        total_l, nb = 0.0, 0
+        for s0 in range(0, len(order), batch):
+            sel = order[s0 : s0 + batch]
+            loss, grads = net.loss_grads(X[sel], Y[sel], weights, drop_rng=rng)
+            total_l += loss
+            nb += 1
+            t += 1
+            # AdamW: decoupled weight decay stands in for the reference's
+            # per-conv l1_l2 regularizers
+            for (p, g), m_s, v_s in zip(grads, ms, vs):
+                m_s *= b1
+                m_s += (1 - b1) * g
+                v_s *= b2
+                v_s += (1 - b2) * g * g
+                p -= lr * (
+                    (m_s / (1 - b1**t)) / (np.sqrt(v_s / (1 - b2**t)) + eps)
+                    + weight_decay * p
+                )
+        last_loss = total_l / nb
+        if epoch >= 9 and epoch % 5 == 4 and token_acc(train_pages) >= 0.999:
+            break
+    return {
+        "kind": "unet-segmenter",
+        "version": 1,
+        "epochs": epoch + 1,
+        "loss": last_loss,
+        "n_train_pages": len(train_pages),
+        "n_held_pages": len(held_pages),
+        "train_token_acc": token_acc(train_pages),
+        "held_token_acc": token_acc(held_pages),
+        "held_styled_token_acc": token_acc(held_pages, styled_only=True),
+        "model": net,
+    }
