@@ -48,20 +48,49 @@ def link_extra_mentions(
     ).drop("pdf_to_canon", "tag")
 
 
-def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """-> (id, shingle): distinct character n-grams per string. Strings
+def _grams_expr(text_col: str, n: int):
+    """Distinct non-empty character n-grams as an ARRAY column. Strings
     shorter than ``n`` contribute themselves whole (the ``greatest(len -
-    (n-1), 1)`` branch); empty strings contribute nothing. JVM-only
-    (transform/sequence/substring) — no Python in the hot path."""
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
-        f" i -> substring({text_col}, i, {n}))"
+    (n-1), 1)`` branch); empty strings contribute nothing."""
+    return F.expr(
+        f"filter(array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> substring({text_col}, i, {n}))), x -> length(x) > 0)"
     )
-    return (
-        df.select(
-            F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
-        )
-        .filter(F.length("shingle") > 0)
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """-> (id, shingle): distinct character n-grams per string, long
+    form (exploded). JVM-only — no Python in the hot path."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_grams_expr(text_col, n)).alias("shingle"),
+    )
+
+
+def shingle_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """-> (id, h0..h{k-1}, sz): MinHash signature + shingle-set size,
+    computed MAP-ONLY per row via ``array_min(transform(grams, x ->
+    xxhash64(seed, x)))``. Identical values to the explode +
+    groupBy(min) formulation with zero shuffle — but MEASURED 5x SLOWER
+    at bench scale, because Spark executes higher-order-function lambdas
+    interpreted per element (no whole-stage codegen inside transform),
+    while explode + hash-aggregate is fully codegen'd. Kept as the
+    documented counter-example: prefer the exploded aggregation unless
+    the shuffle itself dominates (very wide rows, very hot exchange)."""
+    grams = _grams_expr(text_col, n)
+    out = df.select(F.col(id_col).alias("id"), grams.alias("_g")).filter(
+        F.size("_g") > 0
+    )
+    return out.select(
+        "id",
+        *[
+            F.expr(f"array_min(transform(_g, x -> xxhash64({j}, x)))").alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+        F.size("_g").alias("sz"),
     )
 
 
@@ -131,9 +160,12 @@ def fuzzy_link_lsh(
     hint = F.broadcast if broadcast_dict else (lambda df: df)
 
     # ONE union + groupBy computes MinHash signatures AND set sizes for
-    # BOTH sides (the naive form used four separate aggregations — at
-    # small scale this query is stage-count-bound, and each shuffle is a
-    # full sequential stage barrier)
+    # BOTH sides over the cached exploded tables. NOTE a measured trap:
+    # the "obvious" map-only form — array_min(transform(grams, x ->
+    # xxhash64(seed, x))) per row — is 5x SLOWER here, because Spark's
+    # higher-order functions run INTERPRETED per element (no whole-stage
+    # codegen inside the lambda), while explode + hash-aggregate stays
+    # fully codegen'd (see shingle_stats docstring).
     tagged = msh.withColumn("_m", F.lit(1)).unionByName(
         dsh.withColumn("_m", F.lit(0))
     )
