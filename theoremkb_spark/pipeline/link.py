@@ -61,10 +61,17 @@ def _grams_expr(text_col: str, n: int):
 
 def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
     """-> (id, shingle): distinct character n-grams per string, long
-    form (exploded). JVM-only — no Python in the hot path."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_grams_expr(text_col, n)).alias("shingle"),
+    form. JVM-only, and deliberately explode-then-filter: a filter()
+    LAMBDA inside the array is interpreted per element (the HOF trap —
+    see shingle_stats), while the post-explode length predicate stays in
+    whole-stage codegen."""
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> substring({text_col}, i, {n})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .filter(F.length("shingle") > 0)
     )
 
 
