@@ -66,23 +66,9 @@ def main() -> None:
     # estimator that converges to the plan's cost
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry[name][0]
-        # full end-to-end warm pass (codegen + write path + page cache),
-        # then time the steady state; a bare count() warm left the noop
-        # write plan cold and the first timed run paid its compilation
-        _force(fn(spark, SF_DIR))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            _force(fn(spark, SF_DIR))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-
-    # KG pipeline: corpus materialized to parquet off the clock (a
-    # LocalRelation would re-ship the html blobs driver->tasks inside
-    # the timed job), pipeline+write on it
+    # KG pipeline setup FIRST: corpus materialized to parquet off the
+    # clock (a LocalRelation would re-ship the html blobs driver->tasks
+    # inside the timed job)
     from theoremkb_spark.corpus.generator import entity_dict_rows
     from theoremkb_spark.pipeline.extract import write_pages_parquet
     from theoremkb_spark.pipeline.runner import build_kg, load_dico, release_caches
@@ -97,20 +83,47 @@ def main() -> None:
     caches: list = []
     _force(build_kg(spark, pages.limit(16), dico=dico, cache_registry=caches))
     release_caches(caches)
-    # each timed run releases its stage caches so every rep is a full,
-    # self-contained pipeline execution (no cross-run cache hits via
-    # canonicalized-plan matching); min-of-reps as above
-    # extra reps for the long-pole query: a single co-tenant burst
-    # costs 5x wall here and can span minutes — round 2's official 28.8 s
-    # was min-of-3 landing entirely inside one; min-of-5 at ~5-10 s per
-    # rep straddles the typical burst length
-    kg_sec = float("inf")
-    for _ in range(max(reps, 2) + 2):
-        caches = []
+
+    # each timed kg rep releases its stage caches so every rep is a
+    # full, self-contained pipeline execution (no cross-run cache hits
+    # via canonicalized-plan matching)
+    def kg_rep() -> float:
+        c: list = []
         t0 = time.time()
-        _force(build_kg(spark, pages, dico=dico, cache_registry=caches))
-        kg_sec = min(kg_sec, time.time() - t0)
-        release_caches(caches)
+        _force(build_kg(spark, pages, dico=dico, cache_registry=c))
+        dt = time.time() - t0
+        release_caches(c)
+        return dt
+
+    # the long-pole kg reps are INTERLEAVED between the headline query
+    # blocks instead of run back-to-back: a co-tenant burst spans
+    # minutes (round 2's official 28.8 s was min-of-3 landing entirely
+    # inside one), so consecutive reps sample ONE window — spreading the
+    # same reps across the whole bench run lets the min escape any burst
+    # that doesn't cover the entire run, at zero extra wall cost
+    n_kg_reps = max(reps, 2) + 2
+    kg_every = max(1, len(HEADLINE) // n_kg_reps)
+    kg_times = [kg_rep()]  # one rep up front (warm path just ran)
+
+    timings: dict[str, float] = {}
+    for qi, name in enumerate(HEADLINE):
+        fn = registry[name][0]
+        # full end-to-end warm pass (codegen + write path + page cache),
+        # then time the steady state; a bare count() warm left the noop
+        # write plan cold and the first timed run paid its compilation
+        _force(fn(spark, SF_DIR))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _force(fn(spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        if (qi + 1) % kg_every == 0 and len(kg_times) < n_kg_reps:
+            kg_times.append(kg_rep())
+
+    while len(kg_times) < n_kg_reps:
+        kg_times.append(kg_rep())
+    kg_sec = min(kg_times)
     n_triples = build_kg(spark, pages, dico=dico).count()
     timings["kg_pipeline"] = round(kg_sec, 3)
 
