@@ -240,12 +240,20 @@ class UNetSegmenter:
 
 def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE):
     """Deterministic page rasters from the extracted token geometry —
-    the no-external-data analogue of the reference's ``paper.render()``.
-    Returns [(img (size,size,3), gold_mask (size,size) int8,
+    the no-external-data analogue of the reference's ``paper.render()``,
+    INCLUDING its second input: the reference paints a word-vocabulary
+    raster next to the image (cnn.py::_to_features ``input_text`` —
+    token pattern ids stamped into the token boxes); channels 3 and 4
+    here are that input reduced to the two indicator families that
+    matter (result-keyword pattern / proof-keyword pattern).
+    Returns [(img (size,size,5), gold_mask (size,size) int8,
     boxes [(y0,y1,x0,x1,gold_cls)])] — one entry per page."""
     from ..corpus.generator import build_corpus, render_html
+    from ..functions.text import RESULT_LABELS, get_pattern
     from ..pipeline.extract import _parse_tokens
     from .crf import gold_bio
+
+    label_set = frozenset(RESULT_LABELS)
 
     out = []
     for doc, _targets in build_corpus(n_docs, seed):
@@ -260,6 +268,7 @@ def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE):
         italic = [bool(t[11]) for t in toks]
         bold = [bool(t[13]) for t in toks]
         tags = gold_bio(list(zip(line, word, texts, italic, bold)))
+        pats = [get_pattern(t) for t in texts]
         # span label per token -> segmentation class
         cls = []
         open_lab = None
@@ -282,7 +291,7 @@ def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE):
             max_x = max(x + w for x, w in zip(xs, ws)) or 1.0
             max_y = max(y + h for y, h in zip(ys, hs)) or 1.0
             sx, sy = (size - 1) / max_x, (size - 1) / max_y
-            img = np.zeros((size, size, 3))
+            img = np.zeros((size, size, 5))
             mask = np.zeros((size, size), dtype=np.int8)
             boxes = []
             for i in sel:
@@ -295,6 +304,10 @@ def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE):
                     img[y0:y1, x0:x1, 1] = 1.0
                 if italic[i]:
                     img[y0:y1, x0:x1, 2] = 1.0
+                if pats[i] in label_set:
+                    img[y0:y1, x0:x1, 3] = 1.0
+                if pats[i] == "proof":
+                    img[y0:y1, x0:x1, 4] = 1.0
                 mask[y0:y1, x0:x1] = cls[i]
                 boxes.append((y0, y1, x0, x1, cls[i]))
             out.append((img, mask, boxes))
@@ -330,7 +343,7 @@ def train_unet(
     Y = np.stack([p[1] for p in train_pages]).astype(np.int64)
     weights = np.array([1.0, 6.0, 6.0])  # background dominates pixels
 
-    net = UNetSegmenter(seed=7)
+    net = UNetSegmenter(seed=7, c_in=5)
     params = [p for layer in net.layers for p in (layer.W, layer.b)]
     ms = [np.zeros_like(p) for p in params]
     vs = [np.zeros_like(p) for p in params]
