@@ -7,8 +7,21 @@ line: {"metric", "value", "unit", "queries", "sf", ...}.
 Each query is forced end-to-end with the noop writer (computes every
 output column — a bare count() would let Catalyst prune the projections
 we mean to measure). The KG pipeline is benchmarked on the deterministic
-synthetic corpus (fixed 400 docs incl. skew docs) and reported both in
+synthetic corpus (fixed docs incl. skew docs) and reported both in
 seconds and as triples/sec.
+
+Rep scheduling: this sandbox VM has documented co-tenant CPU bursts
+(identical back-to-back runs swing 3-5x, and one burst can span several
+minutes — BENCH/BASELINE.md, BENCH/RECONCILE_r03.md). Consecutive
+min-of-N reps of one query sample a SINGLE noise window, which produced
+round 2's phantom 28.8 s kg number and round 3's phantom 5.8 s
+dedup_minhash_lsh number. Since round 4 EVERY query's reps are
+round-robined across the whole run (round 3 interleaved only the kg
+reps): rep i of every query runs before rep i+1 of any query, so the
+min of each query escapes any burst shorter than the full bench run —
+at zero extra wall cost. Per-rep wall times and the 1-minute load
+average sampled before each round are emitted in the JSON so a noisy
+run is adjudicable from the artifact alone.
 """
 
 from __future__ import annotations
@@ -58,12 +71,6 @@ def main() -> None:
 
     warm_python_workers(spark, CPUS)  # steady state: imports off the clock
 
-    # this sandbox VM has documented co-tenant CPU bursts (identical
-    # back-to-back runs swing 3-5x and a burst can span several minutes
-    # — see BENCH/BASELINE.md and BENCH/RECONCILE_r03.md, where min-of-3
-    # recorded 28.8 s for a pipeline whose quiet steady state is ~5 s);
-    # min-of-N with enough reps to straddle a burst is the only
-    # estimator that converges to the plan's cost
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     # KG pipeline setup FIRST: corpus materialized to parquet off the
@@ -95,34 +102,31 @@ def main() -> None:
         release_caches(c)
         return dt
 
-    # the long-pole kg reps are INTERLEAVED between the headline query
-    # blocks instead of run back-to-back: a co-tenant burst spans
-    # minutes (round 2's official 28.8 s was min-of-3 landing entirely
-    # inside one), so consecutive reps sample ONE window — spreading the
-    # same reps across the whole bench run lets the min escape any burst
-    # that doesn't cover the entire run, at zero extra wall cost
-    n_kg_reps = max(reps, 2) + 2
-    kg_every = max(1, len(HEADLINE) // n_kg_reps)
-    kg_times = [kg_rep()]  # one rep up front (warm path just ran)
+    # warm sweep: full end-to-end pass per query (codegen + write path +
+    # page cache); a bare count() warm left the noop write plan cold and
+    # the first timed run paid its compilation
+    for name in HEADLINE:
+        _force(registry[name][0](spark, SF_DIR))
 
-    timings: dict[str, float] = {}
-    for qi, name in enumerate(HEADLINE):
-        fn = registry[name][0]
-        # full end-to-end warm pass (codegen + write path + page cache),
-        # then time the steady state; a bare count() warm left the noop
-        # write plan cold and the first timed run paid its compilation
-        _force(fn(spark, SF_DIR))
-        best = float("inf")
-        for _ in range(reps):
+    n_rounds = max(reps, 3)
+    per_rep: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    kg_times: list[float] = [kg_rep()]  # one rep up front (warm path just ran)
+    load_1m: list[float] = []
+
+    for _round in range(n_rounds):
+        load_1m.append(round(os.getloadavg()[0], 1))
+        for name in HEADLINE:
+            fn = registry[name][0]
             t0 = time.time()
             _force(fn(spark, SF_DIR))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        if (qi + 1) % kg_every == 0 and len(kg_times) < n_kg_reps:
-            kg_times.append(kg_rep())
-
-    while len(kg_times) < n_kg_reps:
+            per_rep[name].append(round(time.time() - t0, 3))
+        # one kg rep per round keeps the long pole interleaved too
         kg_times.append(kg_rep())
+    load_1m.append(round(os.getloadavg()[0], 1))
+    while len(kg_times) < n_rounds + 2:
+        kg_times.append(kg_rep())
+
+    timings = {name: min(per_rep[name]) for name in HEADLINE}
     kg_sec = min(kg_times)
     n_triples = build_kg(spark, pages, dico=dico).count()
     timings["kg_pipeline"] = round(kg_sec, 3)
@@ -140,6 +144,10 @@ def main() -> None:
                 "kg_triples": n_triples,
                 "kg_triples_per_sec": round(n_triples / kg_sec, 1),
                 "cpus": CPUS,
+                "rep_schedule": "round_robin_all_queries",
+                "per_rep_sec": per_rep,
+                "kg_reps_sec": [round(t, 3) for t in kg_times],
+                "loadavg_1m_per_round": load_1m,
             }
         )
     )

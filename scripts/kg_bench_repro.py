@@ -70,7 +70,9 @@ def main() -> None:
         release_caches(caches)
 
         if args.stages:
-            npart = args.n_partitions or 4 * spark.sparkContext.defaultParallelism
+            # mirror runner.build_kg's fused-path default (1x cores since
+            # the round-3 fix) so per-stage times reconcile with the full reps
+            npart = args.n_partitions or spark.sparkContext.defaultParallelism
             st = {}
             # stage A: the map-only Arrow extraction alone (no repartition)
             t0 = time.time()

@@ -152,7 +152,9 @@ class TransformerClassifier:
         F1 = _elu(A1)
         F2 = F1 @ self.U2 + self.c2
         X3 = X2 + F2
-        denom = mask.sum(axis=1, keepdims=True)
+        # clamp: an all-PAD row (whitespace-only text) has mask.sum()==0
+        # and would NaN the pool, loss, and every gradient downstream
+        denom = np.maximum(mask.sum(axis=1, keepdims=True), 1.0)
         pool = (X3 * mask[:, :, None]).sum(axis=1) / denom
         logits = pool @ self.Wo + self.bo
         return mask, X, Q, K, V, A, X2, A1, F1, X3, denom, pool, logits

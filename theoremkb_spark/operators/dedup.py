@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 
 from .textquality import fingerprint
 
+# caches of the most recent ngram_jaccard_pairs call, released by the
+# NEXT call (single-flight assumption — see that function's docstring)
+_last_caches: list = []
+
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """-> (fp, keeper, n_dups): one row per distinct normalized text,
@@ -123,11 +127,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = 50,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: candidate pairs share >= 1
     shingle with document frequency <= ``max_doc_freq`` (the blocking
     step — bounded by non-hot shingle co-occurrence, never |docs|^2),
     with exact Jaccard over the FULL shingle sets.
+
+    Cache lifecycle: the three intermediates cached below are registered
+    in ``cache_registry`` when given (caller unpersists after its
+    terminal action), else in a module-level registry released at the
+    START of the next call — so looped callers (bench reps, the 50-query
+    sweep) hold at most one invocation's cached blocks. Single-flight
+    assumption: with the default registry, a second call unpersists the
+    first call's caches even if the first call's returned lazy DataFrame
+    has not executed yet; concurrent or deferred-execution callers must
+    pass their own ``cache_registry``.
 
     Plan shape: ONE self-join over the capped shingles produces the
     non-hot common counts directly (no materialized candidate list, no
@@ -143,7 +158,14 @@ def ngram_jaccard_pairs(
     the tiny hot slice, so the output is the exact full-set Jaccard."""
     from pyspark.sql import Window
 
+    global _last_caches
+    for _c in _last_caches:
+        _c.unpersist()
+    _last_caches = []
+    reg = _last_caches if cache_registry is None else cache_registry
+
     sh = shingles(df, id_col, text_col, n).cache()
+    reg.append(sh)
     if max_doc_freq is None:
         blk, sh_hot = sh, None
     else:
@@ -155,6 +177,7 @@ def ngram_jaccard_pairs(
         with_df = sh.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         ).cache()
+        reg.append(with_df)
         blk = with_df.filter(F.col("_df") <= max_doc_freq).select("id", "shingle")
         sh_hot = with_df.filter(F.col("_df") > max_doc_freq).select("id", "shingle")
 
@@ -169,6 +192,7 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("c_blk"))
         .cache()
     )
+    reg.append(common_blk)
 
     if sh_hot is None:
         common = common_blk.withColumnRenamed("c_blk", "common")
@@ -194,6 +218,7 @@ def ngram_jaccard_pairs(
     # cached: the per-doc size table is joined on both pair sides —
     # uncached, the groupBy (and its exchange) runs twice
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).cache()
+    reg.append(sizes)
     jac = (
         F.col("common").cast("decimal(18,6)")
         / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("decimal(18,6)")

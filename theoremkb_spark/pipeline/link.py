@@ -21,7 +21,14 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import salted_join
 
-# caches of the most recent fuzzy_link_lsh call (released by the next one)
+# Caches of the most recent fuzzy_link_lsh call, released by the NEXT
+# call. SINGLE-FLIGHT ASSUMPTION: a second call unpersists the first
+# call's caches even if the first call's returned lazy DataFrame has not
+# executed yet (the result stays correct — Spark recomputes — but the
+# shared-scan benefit is silently lost), and the module global is not
+# safe under concurrent query construction. Looped or concurrent callers
+# must pass cache_registry and release only after their terminal action
+# (the discipline bench.py and build_kg use).
 _last_caches: list = []
 
 
