@@ -89,9 +89,9 @@ def _materialize_once(name: str, sf_dir: str | None, src_file: str, build):
         sf_dir = _DEFAULT_SF_DIR
     src = os.path.join(sf_dir, src_file)
     # "ver" invalidates markers written before a fixture-set change
-    # (e.g. adding the linkfuzzy oracle, or the round-3 pixel-feature
-    # multimodal oracle schema)
-    stamp = {"sf_dir": sf_dir, "src_mtime": os.path.getmtime(src), "ver": 4}
+    # (e.g. adding the linkfuzzy oracle, the round-3 pixel-feature
+    # multimodal oracle schema, or the round-4 mixed BMP/PNG payloads)
+    stamp = {"sf_dir": sf_dir, "src_mtime": os.path.getmtime(src), "ver": 5}
     if current == stamp:
         return
     build(sf_dir)
@@ -132,11 +132,14 @@ def _with_dedup_oracle(fn):
 
 
 def _kg_triples_crf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The KG pipeline with the TRAINED sequence model (averaged-
-    perceptron chain labeler, ml/crf.py) doing the labeling through the
-    Arrow inference stage — graded against the SAME sequential-oracle
-    triples parquet as the rule path: the learned model must reproduce
-    the reference semantics end-to-end."""
+    """The KG pipeline with the TRAINED sequence model doing the
+    labeling through the Arrow inference stage — graded against the SAME
+    sequential-oracle triples parquet as the rule path: the learned
+    model must reproduce the reference semantics end-to-end. Since
+    round 4 the shipped artifact is the TRUE exact-NLL OWL-QN CRF
+    (ml/crf_lbfgs.py, the reference's algorithm and c1/c2, trained once
+    and cached with its wall-time recorded); the perceptron twin remains
+    the fast path via ensure_crf_artifact(trainer="perceptron")."""
     import os
 
     from theoremkb_spark.ml.crf import ensure_crf_artifact

@@ -82,9 +82,12 @@ def test_fuzzy_link_plan_broadcasts_dictionary(spark):
         [(i, f"dictionary text number {i}") for i in range(50)], "id long, key string"
     )
     plan = _plan(fuzzy_link_lsh(mentions, dictionary))
-    # bucket join, verification join, and size join all broadcast the
-    # dictionary side; candidate generation is an equi bucket join
-    assert plan.count("BroadcastHashJoin") >= 3
+    # the single bucket join broadcasts the banded dictionary rows
+    # (verification is map-side array_intersect since round 4 — there is
+    # no separate verification join to check); candidate generation is
+    # an equi bucket join
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -126,7 +129,7 @@ _HEADLINE_BOUNDS = {
     "dedup_minhash_lsh": (7, 0, 0),
     "dedup_simhash": (2, 0, 0),
     "ann_cosine_topk": (2, 0, 1),
-    "link_fuzzy_lsh": (4, 0, 0),
+    "link_fuzzy_lsh": (3, 0, 0),
 }
 
 

@@ -356,16 +356,18 @@ def test_simhash_oracle_twin_matches_operator(spark, edge_docs):
 
 
 def test_multimodal_oracle_twin_matches_operator(spark, edge_docs):
-    """Round-3 pixel path over the unicode/empty edge docs: text -> BMP
-    -> real decode -> features == the byte-direct sequential twin."""
+    """Pixel path over the unicode/empty edge docs: text -> mixed
+    BMP/PNG payloads (even/odd ids) -> magic-dispatch real decode ->
+    features == the byte-direct sequential twin."""
     from theoremkb_spark.corpus.dedup_oracle import multimodal_expected
     from theoremkb_spark.operators.multimodal import (
         image_pixel_features,
-        text_to_bmp_udf,
+        text_to_image_udf,
     )
 
     payloads = edge_docs.select(
-        "doc_id", text_to_bmp_udf()(F.col("text")).alias("payload")
+        "doc_id",
+        text_to_image_udf()(F.col("doc_id"), F.col("text")).alias("payload"),
     )
     feats = image_pixel_features(payloads, "doc_id", "payload")
     got = sorted(
@@ -490,18 +492,19 @@ def test_bmp_non_bmp_routes_to_env_gated_branch():
 
 
 def test_image_pixel_features_match_sequential_twin(spark, docs):
-    """The full image path — text -> BMP payload -> REAL decode ->
-    pixel features — against the sequential twin that computes the same
-    features from the document bytes directly (the BMP container never
-    appears on the oracle side, so encode+decode are both under test)."""
+    """The full image path — text -> mixed BMP/PNG payloads -> REAL
+    magic-dispatch decode -> pixel features — against the sequential
+    twin that computes the same features from the document bytes
+    directly (neither container appears on the oracle side except the
+    restated n_bytes framing, so encode+decode are both under test)."""
     from theoremkb_spark.corpus.dedup_oracle import multimodal_expected
     from theoremkb_spark.operators.multimodal import (
         image_pixel_features,
-        text_to_bmp_udf,
+        text_to_image_udf,
     )
 
     payloads = docs.select(
-        "doc_id", text_to_bmp_udf()(F.col("text")).alias("payload")
+        "doc_id", text_to_image_udf()(F.col("doc_id"), F.col("text")).alias("payload")
     )
     got = {
         r.id: (r.n_bytes, r.width, r.height, r.mean_r, r.mean_g, r.mean_b, r.luma_std)
@@ -510,3 +513,107 @@ def test_image_pixel_features_match_sequential_twin(spark, docs):
     rows = [(r[0], r[1]) for r in docs.orderBy("doc_id").collect()]
     exp = {t[0]: tuple(t[1:]) for t in multimodal_expected(rows)}
     assert got == exp
+
+
+# ---- real PNG codec (round-4: second native container) ------------------
+
+
+def test_png_decode_spec_pinned_all_filters():
+    """Decode BY-HAND PNGs built from the spec (struct + zlib chunk
+    framing, hand-filtered scanlines — never encode_png), covering all
+    five scanline filter types, so the decoder is pinned to the on-disk
+    format independent of the encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from theoremkb_spark.operators.multimodal import decode_png
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, raw):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # image 1: row0 Sub(1), row1 Paeth(4) — expected pixels hand-derived
+    raw1 = bytes([1, 10, 20, 30, 5, 6, 7]) + bytes([4, 1, 2, 3, 4, 5, 6])
+    exp1 = np.array(
+        [[[10, 20, 30], [15, 26, 37]], [[11, 22, 33], [19, 31, 43]]], np.uint8
+    )
+    assert (decode_png(png(2, 2, raw1)) == exp1).all()
+
+    # image 2: row0 Up(2) over zero prior, row1 Average(3)
+    raw2 = bytes([2, 100, 110, 120, 130, 140, 150]) + bytes(
+        [3, 10, 10, 10, 10, 10, 10]
+    )
+    exp2 = np.array(
+        [[[100, 110, 120], [130, 140, 150]], [[60, 65, 70], [105, 112, 120]]],
+        np.uint8,
+    )
+    assert (decode_png(png(2, 2, raw2)) == exp2).all()
+
+    # image 3: filter None(0), and IDAT split across two chunks must
+    # concatenate before inflating
+    raw3 = bytes([0, 1, 2, 3, 4, 5, 6])
+    z = zlib.compress(raw3)
+    body = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", z[:5])
+        + chunk(b"IDAT", z[5:])
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(body) == np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8)).all()
+
+
+def test_png_roundtrip_and_dispatch():
+    """encode_png -> decode_png is exact; decode_image dispatches BMP vs
+    PNG on magic bytes; unsupported PNG color types route to the
+    env-gated branch."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from theoremkb_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_bmp24,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(px)) == px).all()
+    assert (decode_image(encode_png(px)) == px).all()
+    assert (decode_image(encode_bmp24(px)) == px).all()
+
+    # grayscale (color type 0) is out of native scope -> env-gated branch
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x7f"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(gray)

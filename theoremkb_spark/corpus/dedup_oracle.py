@@ -386,24 +386,37 @@ def multimodal_expected(
 ) -> list[tuple[int, int, int, int, float, float, float, float]]:
     """Expected rows of the multimodal_features query: pixel features
     computed from the document bytes DIRECTLY (bytes -> (h, w, 3) RGB
-    grid), never through the BMP container — so the Spark side's
-    encode_bmp24 -> decode_bmp24 roundtrip is gated, not mirrored.
-    n_bytes is the only container-derived value: 54-byte header +
-    4-byte-padded rows (the BMP spec, restated independently here).
-    Same numpy reduction order as the Arrow featurizer (np.mean /
-    np.std use pairwise summation; a naive sequential sum can differ
-    in the last ulp and flip a round-to-6)."""
+    grid), never through either container — so the Spark side's
+    encode->decode roundtrips (BMP for even ids, PNG for odd) are
+    gated, not mirrored. n_bytes is the only container-derived value:
+    for BMP, 54-byte header + 4-byte-padded rows (the spec restated
+    independently); for PNG, signature + IHDR/IDAT/IEND chunk framing
+    (8 + 25 + 12 + 12 = 57) around the zlib-level-6 stream of the
+    filter-0 scanlines — zlib output length is deterministic per
+    (input, level), so this is spec framing around a library-defined
+    payload size, not a copy of the encoder. Same numpy reduction
+    order as the Arrow featurizer (np.mean / np.std use pairwise
+    summation; a naive sequential sum can differ in the last ulp and
+    flip a round-to-6)."""
+    import zlib
+
     import numpy as np
 
     stride = (width * 3 + 3) & ~3
-    n_bytes = 54 + stride * height
+    bmp_n_bytes = 54 + stride * height
     out = []
     n = width * height * 3
     for i, t in docs:
         b = (t or "").encode("utf-8")[:n]
         arr = np.zeros(n, dtype=np.uint8)
         arr[: len(b)] = np.frombuffer(b, dtype=np.uint8)
-        px = arr.reshape(height, width, 3).astype(np.float64)
+        px_u8 = arr.reshape(height, width, 3)
+        if i % 2 == 0:
+            n_bytes = bmp_n_bytes
+        else:
+            raw = b"".join(b"\x00" + px_u8[y].tobytes() for y in range(height))
+            n_bytes = 57 + len(zlib.compress(raw, 6))
+        px = px_u8.astype(np.float64)
         luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
         out.append(
             (

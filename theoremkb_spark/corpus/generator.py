@@ -70,7 +70,23 @@ HOT_EXTERNAL = 0  # EXT0 is cited by ~30% of docs (skew target)
 
 EPOCH = datetime(2024, 5, 1, 0, 0, 0)
 
-LINES_PER_PAGE = 45
+# Page geometry. Since round 4 the layout carries the two visual cues a
+# real PDF render has and the round-3 synthetic geometry lacked — inter-
+# block leading (paragraph gap) and a first-line indent — because with
+# uniform line pitch a span's EXTENT below its styled opener is invisible
+# in pixel space, which capped the U-Net's held-out vote accuracy at 0.65
+# (VERDICT r3). Pure geometry: token TEXT (and hence the byte-identical
+# extraction invariant) is unaffected; hpos/vpos consumers (the
+# feature-frame query and its DuckDB oracle, the U-Net raster) all
+# recompute from the rendered html. 30 lines/page keeps one text line
+# ~1.4 px and one block gap ~2.9 px at the U-Net's 64-px raster (45
+# lines + gaps cannot fit 63 pixel rows with distinct gap rows).
+LINES_PER_PAGE = 30
+LINE_PITCH = 11.5
+BLOCK_GAP = 11.5  # one blank line of leading before each same-page block
+FIRST_LINE_INDENT = 18.0  # body blocks only; the title stays flush
+PAGE_TOP = 72.0
+LEFT_MARGIN = 56.0
 
 
 @dataclass
@@ -281,6 +297,7 @@ def render_html(doc: Doc) -> bytes:
     line_no = 0  # running line count; a block lands on the page of its first line
     cur_page = -1
     block_idx = 0
+    y = PAGE_TOP  # per-page vertical cursor (advanced per line and per block gap)
     for block in doc.blocks:
         page = line_no // LINES_PER_PAGE
         if page != cur_page:
@@ -288,11 +305,16 @@ def render_html(doc: Doc) -> bytes:
                 parts.append("</section>\n")
             parts.append(f'<section class="page" n="{page}">\n')
             cur_page = page
+            y = PAGE_TOP
+        else:
+            y += BLOCK_GAP  # paragraph spacing between same-page blocks
         parts.append(f'<div class="block" n="{block_idx}">\n')
         for li, line in enumerate(block.lines):
-            vpos = 72.0 + 11.5 * (line_no - cur_page * LINES_PER_PAGE)
+            vpos = y
             parts.append('<p class="line">')
-            hpos = 56.0
+            hpos = LEFT_MARGIN + (
+                FIRST_LINE_INDENT if (li == 0 and block.kind != "title") else 0.0
+            )
             for tok in line:
                 width = round(5.2 * len(tok.text), 2)
                 attrs = f'f="{tok.font}" x="{hpos}" y="{vpos}" w="{width}" h="9.0"'
@@ -302,6 +324,7 @@ def render_html(doc: Doc) -> bytes:
                 hpos = round(hpos + width + 3.1, 2)
             parts.append("</p>\n")
             line_no += 1
+            y += LINE_PITCH
         parts.append("</div>\n")
         block_idx += 1
     if cur_page >= 0:

@@ -99,6 +99,125 @@ def decode_bmp24(payload: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+# ---- real, dependency-free PNG codec (8-bit RGB, stdlib zlib) -----------
+#
+# Same discipline as the BMP path: the container ships no PIL, but a
+# non-interlaced 8-bit truecolor PNG needs only struct + zlib + numpy.
+# The encoder emits filter-0 scanlines; the decoder is spec-complete for
+# all five filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6) so it
+# reads PNGs from ANY conforming encoder, not just its own twin — pinned
+# by a by-hand spec test exactly like decode_bmp24.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB array -> non-interlaced 8-bit truecolor PNG
+    bytes (filter 0 scanlines, one zlib IDAT)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """PNG bytes -> (h, w, 3) uint8 RGB array. Real decoder for
+    non-interlaced 8-bit truecolor (color type 2) with all five scanline
+    filters; anything else routes to the env-gated PIL branch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        return _decode_image(payload)
+    pos, w, h, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + tag + data + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2 or comp or filt or interlace:
+                return _decode_image(payload)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        return _decode_image(payload)
+    raw = zlib.decompress(b"".join(idat))
+    bpp, stride = 3, w * 3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    rpos = 0
+    for y in range(h):
+        f = raw[rpos]
+        row = np.frombuffer(raw, np.uint8, stride, rpos + 1).astype(np.int64)
+        rpos += 1 + stride
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: left neighbor (sequential in x)
+            cur = row
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 2:  # Up: vectorized over the row
+            cur = (row + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = row
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + (left + prev[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            cur = row
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            return _decode_image(payload)
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, 3)
+
+
+def decode_image(payload: bytes):
+    """Magic-byte dispatch: BMP and PNG decode natively (real codecs
+    above); every other format routes to the env-gated PIL branch."""
+    if payload[:2] == b"BM":
+        return decode_bmp24(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    return _decode_image(payload)
+
+
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
@@ -114,10 +233,11 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 
 
 def image_pixel_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """(id, payload binary) -> per-image PIXEL features via the real BMP
-    decode: dimensions, per-channel means, luminance std (population).
-    Arrow-batched mapInPandas — decode cost amortizes per batch and the
-    binary payloads never cross the driver."""
+    """(id, payload binary) -> per-image PIXEL features via the real
+    BMP/PNG decoders (magic-byte dispatch): dimensions, per-channel
+    means, luminance std (population). Arrow-batched mapInPandas —
+    decode cost amortizes per batch and the binary payloads never cross
+    the driver."""
     src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -127,7 +247,7 @@ def image_pixel_features(df: DataFrame, id_col: str, payload_col: str) -> DataFr
             rows = []
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
-                px = decode_bmp24(payload).astype(np.float64)
+                px = decode_image(payload).astype(np.float64)
                 h, w, _ = px.shape
                 luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
                 rows.append(
@@ -204,6 +324,26 @@ def text_to_bmp_udf(width: int = 16, height: int = 16):
         )
 
     return to_bmp
+
+
+def text_to_image_udf(width: int = 16, height: int = 16):
+    """pandas UDF: (id, text) -> real image payload bytes, alternating
+    container by id parity (even -> BMP, odd -> PNG) so one column
+    carries a mixed-format image corpus and the decode side must
+    dispatch on magic bytes — the shape of a real crawl's image column."""
+
+    @F.pandas_udf(T.BinaryType())
+    def to_img(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                (encode_bmp24 if int(i) % 2 == 0 else encode_png)(
+                    text_pixels(t, width, height)
+                )
+                for i, t in zip(ids, texts)
+            ]
+        )
+
+    return to_img
 
 
 # ---- typed media metadata + frame sampling + resize ---------------------

@@ -136,11 +136,20 @@ def fuzzy_link_lsh(
     ``threshold`` floor. Output: (src, dst, jaccard), one row per linked
     mention.
 
-    Scale shape: the dictionary is a dimension table — with
-    ``broadcast_dict=True`` (default) BOTH the candidate bucket join and
-    the verification shingle join broadcast the dictionary side, so the
-    mention table is never shuffled; with a dictionary too large to
-    broadcast, pass False and AQE handles the (band, sig) bucket skew.
+    Scale shape (round-4 form): ONE wide exchange total on the mention
+    side. The union+groupBy that computes MinHash signatures and set
+    sizes also carries each id's full shingle set (collect_set), so
+    verification is a map-side ``size(array_intersect(set_a, set_b))``
+    on the band-join output — the round-3 plan's separate
+    candidates x shingles verification join (and its two exchanges, and
+    the msh/dsh caches that fed it) is gone. With
+    ``broadcast_dict=True`` (default) the bucket join broadcasts the
+    banded dictionary rows (sets included — 8x-duplicated map-side
+    only, fine for a dimension table); duplicate multi-band matches
+    recompute the intersection map-side (bounded by ``bands``, measured
+    cheaper than deduping first, which would shuffle the arrays). With a
+    dictionary too large to broadcast, pass False: the arrays then ride
+    the (band, sig) shuffle and AQE handles bucket skew.
 
     Parameter discipline (the quadratic-candidate trap): char n-grams
     over natural-language text are COMMON across unrelated strings —
@@ -153,8 +162,6 @@ def fuzzy_link_lsh(
     positive. Raise bands (lower rows) only for alphabets/inputs whose
     baseline cross-pair similarity is genuinely low.
     """
-    from ..operators.dedup import banded_signatures
-
     rows = num_hashes // bands
     # each call releases the PREVIOUS call's cached blocks, so looped
     # callers (bench reps, the 50-query correctness sweep) hold at most
@@ -165,23 +172,22 @@ def fuzzy_link_lsh(
     for df in _last_caches:
         df.unpersist()
     _last_caches = []
-    # the shingle tables each feed two consumers (the stats aggregation
-    # and the verification join) — cache so scan + explode run once
-    msh = char_shingles(mentions, id_col, text_col, n).cache()
-    dsh = char_shingles(dictionary, dict_id_col, dict_text_col, n).cache()
     reg = _last_caches if cache_registry is None else cache_registry
-    reg.extend([msh, dsh])
     hint = F.broadcast if broadcast_dict else (lambda df: df)
 
-    # ONE union + groupBy computes MinHash signatures AND set sizes for
-    # BOTH sides over the cached exploded tables. NOTE a measured trap:
-    # the "obvious" map-only form — array_min(transform(grams, x ->
-    # xxhash64(seed, x))) per row — is 5x SLOWER here, because Spark's
-    # higher-order functions run INTERPRETED per element (no whole-stage
-    # codegen inside the lambda), while explode + hash-aggregate stays
-    # fully codegen'd (see shingle_stats docstring).
-    tagged = msh.withColumn("_m", F.lit(1)).unionByName(
-        dsh.withColumn("_m", F.lit(0))
+    # ONE union + groupBy computes MinHash signatures, set sizes, AND the
+    # full shingle set per id for BOTH sides — the only wide exchange.
+    # NOTE a measured trap: the "obvious" map-only form — array_min(
+    # transform(grams, x -> xxhash64(seed, x))) per row — is 5x SLOWER,
+    # because Spark's higher-order functions run INTERPRETED per element
+    # (no whole-stage codegen inside the lambda), while explode +
+    # hash-aggregate stays fully codegen'd (see shingle_stats docstring).
+    tagged = char_shingles(mentions, id_col, text_col, n).withColumn(
+        "_m", F.lit(1)
+    ).unionByName(
+        char_shingles(dictionary, dict_id_col, dict_text_col, n).withColumn(
+            "_m", F.lit(0)
+        )
     )
     stats = (
         tagged.groupBy("_m", "id")
@@ -191,41 +197,51 @@ def fuzzy_link_lsh(
                 for j in range(num_hashes)
             ],
             F.count(F.lit(1)).alias("sz"),
+            F.collect_set("shingle").alias("sset"),
         )
         .cache()
     )
     reg.append(stats)
-    mstats = stats.filter(F.col("_m") == 1)
-    dstats = stats.filter(F.col("_m") == 0)
 
-    mbanded = banded_signatures(mstats, bands, rows)
-    dbanded = banded_signatures(dstats, bands, rows)
-    candidates = (
-        mbanded.withColumnRenamed("id", "src")
-        .join(hint(dbanded.withColumnRenamed("id", "dst")), ["band", "sig"])
-        .select("src", "dst")
-        .distinct()
-    )
+    # banding inline (operators.dedup.banded_signatures semantics) so the
+    # carried sz/sset columns survive the explode
+    def _banded(side, id_alias, sz_alias, set_alias):
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+        return side.select(
+            F.col("id").alias(id_alias),
+            F.col("sz").alias(sz_alias),
+            F.col("sset").alias(set_alias),
+            F.explode(F.array(*band_structs)).alias("bs"),
+        ).select(id_alias, sz_alias, set_alias, "bs.band", "bs.sig")
 
-    common = (
-        candidates.join(msh.select(F.col("id").alias("src"), "shingle"), "src")
-        .join(hint(dsh.select(F.col("id").alias("dst"), "shingle")), ["dst", "shingle"])
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    mbanded = _banded(stats.filter(F.col("_m") == 1), "src", "sz_a", "set_a")
+    dbanded = _banded(stats.filter(F.col("_m") == 0), "dst", "sz_b", "set_b")
+
+    common = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     jac = (
-        F.col("common").cast("decimal(18,6)")
-        / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("decimal(18,6)")
+        common.cast("decimal(18,6)")
+        / (F.col("sz_a") + F.col("sz_b") - common).cast("decimal(18,6)")
     )
     verified = (
-        common.join(mstats.select(F.col("id").alias("src"), F.col("sz").alias("sz_a")), "src")
-        .join(hint(dstats.select(F.col("id").alias("dst"), F.col("sz").alias("sz_b"))), "dst")
+        mbanded.join(hint(dbanded), ["band", "sig"])
         .withColumn("jaccard", F.round(jac, 6).cast("double"))
         .filter(F.col("jaccard") >= threshold)
     )
 
     from pyspark.sql import Window
 
+    # a pair matching in k bands appears k times with IDENTICAL
+    # (src, dst, jaccard) — no dedup pass needed: the argmax row_number
+    # ranks the duplicates arbitrarily among themselves and _rk == 1
+    # emits one of them, which is value-identical output either way
     w = Window.partitionBy("src").orderBy(F.col("jaccard").desc(), F.col("dst"))
     return (
         verified.withColumn("_rk", F.row_number().over(w))

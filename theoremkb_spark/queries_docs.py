@@ -307,19 +307,21 @@ ORDER BY id_a, id_b
 
 
 def q_multimodal_features(spark, sf):
-    """Image-column pipeline with a REAL decode stage: each document's
-    bytes become a 16x16 24-bit BMP payload (opaque binary column), then
-    the dependency-free BMP decoder (operators/multimodal.py::
-    decode_bmp24 — header parse, bottom-up rows, 4-byte padding, BGR)
-    recovers the pixels and emits pixel-derived features (channel means,
-    luminance std). Oracle: the sequential twin computes the same
-    features from the document bytes DIRECTLY (never touching the BMP
-    container), so the encode->decode roundtrip and the feature math are
-    both under the gate. Non-BMP formats keep the env-gated PIL branch."""
-    from .operators.multimodal import image_pixel_features, text_to_bmp_udf
+    """Image-column pipeline with a REAL decode stage over a
+    MIXED-FORMAT payload column: each document's bytes become a 16x16
+    image payload — 24-bit BMP for even doc_ids, 8-bit-RGB PNG (stdlib
+    zlib) for odd — and the decoder dispatches on magic bytes
+    (operators/multimodal.py::decode_image: BMP header/bottom-up/
+    padding/BGR; PNG chunk walk + inflate + all five scanline filters)
+    to recover the pixels and emit pixel-derived features (channel
+    means, luminance std). Oracle: the sequential twin computes the
+    features from the document bytes DIRECTLY (never touching either
+    container), so both encode->decode roundtrips and the feature math
+    are under the gate. Other formats keep the env-gated PIL branch."""
+    from .operators.multimodal import image_pixel_features, text_to_image_udf
 
     d = _t(spark, sf, "documents").select(
-        "doc_id", text_to_bmp_udf()(F.col("text")).alias("payload")
+        "doc_id", text_to_image_udf()(F.col("doc_id"), F.col("text")).alias("payload")
     )
     feats = image_pixel_features(d, "doc_id", "payload")
     return feats.select(
