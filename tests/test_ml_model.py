@@ -340,6 +340,78 @@ def test_transformer_line_classification_heldout():
     assert {"theorem", "lemma", "proof", "other"} <= set(art["classes"])
 
 
+# ---- LSTM text classifier (M6 second sub-variant, ml/lstm.py) ------------
+
+
+def test_lstm_gradients_match_finite_differences():
+    """Exact backprop through time (gates, cell path, padding mask that
+    carries h/c through PAD steps, embedding scatter) vs central finite
+    differences — including a padded row so the mask path is exercised."""
+    from theoremkb_spark.ml.lstm import LSTMClassifier
+    from theoremkb_spark.ml.textformer import _encode
+
+    rng = np.random.default_rng(0)
+    vocab = {"<pad>": 0, "<unk>": 1, "a": 2, "b": 3, "c": 4}
+    m = LSTMClassifier(vocab, ["x", "y", "z"], d=6, hidden=5, seed=2)
+    ids = np.array([_encode("a b c a", vocab), _encode("c c b", vocab)])
+    y = np.array([0, 2])
+    _loss, grads = m.loss_grads(ids, y)
+    eps = 1e-6
+    for p, g in zip(m.params(), grads):
+        flat = p.ravel()
+        for i in rng.choice(flat.size, min(6, flat.size), replace=False):
+            old = flat[i]
+            flat[i] = old + eps
+            lp, _ = m.loss_grads(ids, y)
+            flat[i] = old - eps
+            lm, _ = m.loss_grads(ids, y)
+            flat[i] = old
+            assert abs((lp - lm) / (2 * eps) - g.ravel()[i]) < 1e-6
+
+
+def test_lstm_final_state_ignores_padding():
+    """keras mask_zero semantics: trailing PADs must not change the
+    classifier's logits — the final state is the last real timestep's."""
+    from theoremkb_spark.ml.lstm import LSTMClassifier
+    from theoremkb_spark.ml.textformer import MAXLEN
+
+    vocab = {"<pad>": 0, "<unk>": 1, "a": 2, "b": 3}
+    m = LSTMClassifier(vocab, ["x", "y"], d=4, hidden=3, seed=5)
+    short = np.zeros((1, MAXLEN), dtype=np.int64)
+    short[0, :3] = [2, 3, 2]
+    # same tokens, but the sequence "ends" earlier vs later is identical
+    # because the remaining positions are PAD either way; compare against
+    # a manually-rolled forward that stops at the last real token
+    _m, _X, _steps, h_fin, logits = m._forward(short)
+    h = np.zeros((1, 3))
+    c = np.zeros((1, 3))
+    H = 3
+    for t in range(3):
+        x = m.Emb[short[:, t]]
+        z = x @ m.Wx + h @ m.Wh + m.b
+        i = 1 / (1 + np.exp(-z[:, :H]))
+        f = 1 / (1 + np.exp(-z[:, H : 2 * H]))
+        g = np.tanh(z[:, 2 * H : 3 * H])
+        o = 1 / (1 + np.exp(-z[:, 3 * H :]))
+        c = f * c + i * g
+        h = o * np.tanh(c)
+    assert np.allclose(h_fin, h)
+    assert np.allclose(logits, h @ m.Wo + m.bo)
+
+
+def test_lstm_line_classification_heldout():
+    """M6's LSTM sub-variant under the same notebook protocol as the
+    transformer twin (80/20 stratified, random_state=42, balanced
+    frame): >= 0.95 held-out accuracy."""
+    from theoremkb_spark.ml.lstm import train_lstm
+
+    art = train_lstm(n_docs=40)
+    assert art["kind"] == "lstm-classifier"
+    assert art["train_acc"] == 1.0
+    assert art["test_acc"] >= 0.95, art["test_acc"]
+    assert {"theorem", "lemma", "proof", "other"} <= set(art["classes"])
+
+
 # ---- U-Net page segmentation (M4, ml/unet.py) ---------------------------
 
 

@@ -67,7 +67,11 @@ def test_lineage_reconciles(spark, tmp_path):
     store = CheckpointedTripleStore(str(tmp_path / "kg3"))
     run_incremental(spark, pages, ents, store)
     lineage_total = (
-        store.read_lineage(spark).groupBy().sum("rows").first()[0]
+        store.read_lineage(spark)
+        .filter("stage = 'triples'")  # round 4: lineage covers every stage
+        .groupBy()
+        .sum("rows")
+        .first()[0]
     )
     assert lineage_total == store.read_triples(spark).count()
 
@@ -235,3 +239,39 @@ def test_recommit_supersedes_earlier_triples(spark, tmp_path):
         for r in store.read_triples(spark).collect()
     }
     assert after == expected
+
+def test_lineage_reconciles_across_stages(spark, tmp_path):
+    """Every committed batch carries per-stage, per-partition lineage
+    (north rule: per-partition lineage + metrics), and the row counts
+    reconcile across the pipeline: fused == spans + mentions + citations
+    (the fused pass emits exactly those three kinds), the triples stage
+    matches the batch's committed triple file, and every stage records a
+    wall-ms."""
+    from collections import defaultdict
+
+    pages = load_pages(spark, N)
+    ents = load_entity_dict(spark, N)
+    store = CheckpointedTripleStore(str(tmp_path / "kg_lin"))
+    run_incremental(spark, pages, ents, store, limit=10)
+    run_incremental(spark, pages, ents, store)
+
+    totals: dict = defaultdict(int)
+    walls: dict = {}
+    for r in store.read_lineage(spark).collect():
+        totals[(r.batch_id, r.stage)] += r.rows
+        walls[(r.batch_id, r.stage)] = r.wall_ms
+
+    batches = {b for b, _s in totals}
+    assert batches == {0, 1}
+    expected_stages = {"fused", "spans", "mentions", "citations", "triples"}
+    for b in batches:
+        assert {s for bb, s in totals if bb == b} == expected_stages
+        parts = sum(totals[(b, s)] for s in ("spans", "mentions", "citations"))
+        assert totals[(b, "fused")] == parts, (b, totals[(b, "fused")], parts)
+        # the triples stage reconciles with the committed batch file
+        m = next(mm for mm in store.manifests() if mm["batch_id"] == b)
+        committed = spark.read.parquet(m["triples_path"]).count()
+        assert totals[(b, "triples")] == committed, (b, committed)
+        assert all(
+            walls[(b, s)] is not None and walls[(b, s)] >= 0 for s in expected_stages
+        )

@@ -241,12 +241,17 @@ class CheckpointedTripleStore:
         return True
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
+        """The committed per-batch lineage as one queryable table:
+        (stage, partition_id, rows, urls, wall_ms, batch_id). Schema
+        merge covers pre-round-4 batches written without wall_ms."""
         paths = [m["lineage_path"] for m in self.manifests() if m.get("lineage_path")]
         if not paths:
             return spark.createDataFrame(
-                [], "stage string, partition_id int, rows long, urls long, batch_id long"
+                [],
+                "stage string, partition_id int, rows long, urls long, "
+                "wall_ms long, batch_id long",
             )
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- write side (one batch = one snapshot) ---------------------------
     def commit_batch(
@@ -308,8 +313,16 @@ def run_incremental(
 ) -> int:
     """Process only not-yet-committed documents; returns the batch id or -1
     when nothing is left to do. ``limit`` caps the batch (test hook for the
-    kill-and-rerun scenario)."""
-    from ..pipeline.runner import build_kg, lineage_rows, release_caches
+    kill-and-rerun scenario).
+
+    Every batch commits a per-STAGE, per-partition lineage table
+    (extraction / spans / mentions / citations / triples — row counts,
+    distinct urls, and per-stage wall-ms) through the store's atomic
+    manifest, so an operator can reconcile row counts across the whole
+    pipeline for any batch from the committed data alone (north rule:
+    per-partition lineage + metrics). Queryable via
+    ``store.read_lineage(spark)``."""
+    from ..pipeline.runner import build_kg, release_caches, stage_lineage
 
     done = store.processed_urls(spark)
     todo = pages.join(done, "url", "left_anti")
@@ -319,12 +332,16 @@ def run_incremental(
     if todo.isEmpty():
         return -1
     caches: list[DataFrame] = []
-    triples = build_kg(spark, todo, entity_dict, cache_registry=caches)
+    stages: dict[str, DataFrame] = {}
+    triples = build_kg(
+        spark, todo, entity_dict, cache_registry=caches, stages_out=stages
+    )
     try:
+        stages["triples"] = triples
         # mark every attempted url as processed — including zero-triple and
         # non-English docs, otherwise they would be reprocessed forever
         batch_id = store.commit_batch(
-            triples, todo.select("url"), lineage_rows(triples, "triples")
+            triples, todo.select("url"), stage_lineage(spark, stages)
         )
     finally:
         # looped callers would otherwise accumulate cached blocks forever

@@ -28,7 +28,13 @@ from __future__ import annotations
 
 import numpy as np
 
-SIZE = 64
+# Raster size. 96 since round 4: with the paragraph-gap corpus geometry
+# (30 lines + inter-block leading per page) a text line maps to ~2.1 px
+# and a block gap to ~4.3 px — both unambiguous — where 64 px left the
+# gap at 1-2 rows against ~1.4 px line pitch (rounding jitter made the
+# two indistinguishable and capped held-out vote accuracy at ~0.8).
+# Must stay divisible by 16 (two 4x pools).
+SIZE = 96
 N_SEG_CLASSES = 3  # background / result-statement / proof
 
 

@@ -156,6 +156,7 @@ def build_kg(
     dico: DataFrame | None = None,
     model_file: str | None = None,
     cache_registry: list[DataFrame] | None = None,
+    stages_out: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """pages + entity_dict -> triples DataFrame (lazy).
 
@@ -166,6 +167,11 @@ def build_kg(
     Pass ``cache_registry`` (a list) to collect the cached stage
     intermediates; hand it to ``release_caches`` after the terminal
     action so looped callers don't leak cached blocks.
+
+    Pass ``stages_out`` (a dict) to receive the intermediate stage
+    DataFrames (materialization stage first, then spans / mentions /
+    citations) — the hook ``stage_lineage`` uses to commit per-stage,
+    per-partition lineage rows through the checkpoint store.
     """
 
     def _cached(df: DataFrame) -> DataFrame:
@@ -232,6 +238,10 @@ def build_kg(
             F.col("ref_kind").alias("kind"),
             "ref_tag",
         )
+        if stages_out is not None:
+            stages_out.update(
+                fused=fused, spans=spans, mentions=mentions, citations=citations
+            )
     else:
         # token path: the token table is ~40x LARGER than the pages, so
         # here the cheap place for the explicit url-hash exchange is the
@@ -255,6 +265,10 @@ def build_kg(
         # two consumers (intra + extra cite branches) — cache so the
         # mention mining UDF runs once over the span table
         mentions = _cached(mine_mentions(spans))
+        if stages_out is not None:
+            stages_out.update(
+                tokens=tokens, spans=spans, mentions=mentions, citations=citations
+            )
     if dico is None:
         # the dictionary is broadcast-sized and consumed by two joins —
         # cache it so the CC canonicalization runs once
@@ -279,3 +293,27 @@ def lineage_rows(df: DataFrame, stage: str) -> DataFrame:
             "urls",
         )
     )
+
+
+LINEAGE_SCHEMA = "stage string, partition_id int, rows long, urls long, wall_ms long"
+
+
+def stage_lineage(spark: SparkSession, stages: dict[str, DataFrame]) -> DataFrame:
+    """Materialize per-partition lineage for every exposed stage, with a
+    per-stage wall-ms measured around that stage's lineage action.
+
+    Attribution note: stages is insertion-ordered with the cached
+    materialization stage ('fused'/'tokens') FIRST, so its wall-ms
+    carries the extraction cost and the later stages' wall-ms measure
+    only their own branch work over the warm cache. Output is tiny
+    (#stages x #partitions rows), assembled driver-side so the measured
+    walls ride along exactly."""
+    import time
+
+    rows = []
+    for name, df in stages.items():
+        t0 = time.time()
+        part = lineage_rows(df, name).collect()
+        wall = int((time.time() - t0) * 1000)
+        rows.extend((name, r.partition_id, r.rows, r.urls, wall) for r in part)
+    return spark.createDataFrame(rows, LINEAGE_SCHEMA)
