@@ -275,3 +275,31 @@ def test_lineage_reconciles_across_stages(spark, tmp_path):
         assert all(
             walls[(b, s)] is not None and walls[(b, s)] >= 0 for s in expected_stages
         )
+
+
+def test_iceberg_adapter_gating_and_factory(spark, tmp_path):
+    """The Iceberg binding is env-gated: without the runtime jars the
+    factory hands back the parquet emulation for a path location, and
+    constructing the Iceberg store raises cleanly instead of failing
+    deep inside a SQL call. (The adapter's SQL surface runs only on a
+    classpath with the Iceberg runtime — the emulation is the tested
+    engine of record here.)"""
+    import pytest
+
+    from theoremkb_spark.io.catalog import iceberg_available
+    from theoremkb_spark.io.iceberg_adapter import (
+        IcebergTripleStore,
+        open_triple_store,
+    )
+
+    store = open_triple_store(spark, str(tmp_path / "kg_ice"))
+    assert isinstance(store, CheckpointedTripleStore)
+    # the factory-selected store drives the SAME incremental loop
+    pages = load_pages(spark, 6)
+    ents = load_entity_dict(spark, 6)
+    assert run_incremental(spark, pages, ents, store) == 0
+    assert run_incremental(spark, pages, ents, store) == -1
+
+    if not iceberg_available(spark):
+        with pytest.raises(NotImplementedError):
+            IcebergTripleStore(spark, "demo.db.kg")
