@@ -24,7 +24,12 @@ N_DOCS = 40
 
 @pytest.fixture(scope="module")
 def artifact(tmp_path_factory):
-    return ensure_crf_artifact(str(tmp_path_factory.mktemp("mlart")), n_docs=N_DOCS)
+    # the PERCEPTRON twin: seconds to train, shares the applier contract
+    # with the shipped lbfgs artifact (which trains in ~100 s and has its
+    # own gates in the crf_lbfgs section below)
+    return ensure_crf_artifact(
+        str(tmp_path_factory.mktemp("mlart")), n_docs=N_DOCS, trainer="perceptron"
+    )
 
 
 def test_training_reaches_zero_errors(artifact):
@@ -34,6 +39,18 @@ def test_training_reaches_zero_errors(artifact):
         art = pickle.load(f)
     assert art["kind"] == "chain-averaged-perceptron"
     assert art["train_errors"] == 0
+
+
+def test_default_shipped_trainer_is_lbfgs(tmp_path):
+    """Round 4: the artifact kg_triples_crf ships by default is the true
+    OWL-QN CRF — asserted on the cache filename contract (training it
+    here would cost ~100 s; the trainer itself is finite-difference and
+    held-out gated in the crf_lbfgs section)."""
+    import inspect
+
+    from theoremkb_spark.ml.crf import ensure_crf_artifact as fn
+
+    assert inspect.signature(fn).parameters["trainer"].default == "lbfgs"
 
 
 def test_heldout_generalization_exact():
