@@ -9,11 +9,16 @@ onto the sf0.1 keys:
   dimensions grow slower than facts, as in TPC-H itself);
 * events: user_id AND event_id offset per replica (each replica is a
   disjoint user population, so sessionize/window state scales);
-* documents: doc_id offset; replicas k>0 get a replica-unique marker
-  token spliced every 7 words, which breaks nearly all cross-replica
-  word-3-gram and char-5-gram shingles — the near-dup structure of each
-  replica mirrors sf0.1 instead of every doc gaining 9 brand-new exact
-  twins (which would quadratically distort the dedup queries' output);
+* documents: doc_id offset; replicas k>0 are rewritten by a per-replica
+  caesar rotation of [a-z] (text length, word boundaries, and all
+  per-replica shingle statistics preserved; every word-3-gram and
+  char-5-gram shingle maps bijectively to a replica-unique one) — so
+  each replica's near-dup/link structure EXACTLY mirrors sf0.1 and
+  cross-replica similarity is ~0. The first attempt (a marker token
+  spliced every 7 words) left 3-gram windows intact across replicas:
+  shared shingles' document frequency grew 10x, the blocking self-join
+  went superlinear (measured 35x wall at 10x data), and fuzzy-link keys
+  stayed above the verify threshold across replicas (17x wall);
 * embeddings: vec_id offset; vectors rolled by k positions (norm
   preserved, cross-replica cosine decorrelated).
 
@@ -31,7 +36,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 DIMS = ("region", "nation", "customer", "supplier", "part")
-SPLICE_EVERY = 7
 
 
 def _write(out_dir: str, name: str, replicas) -> None:
@@ -41,16 +45,10 @@ def _write(out_dir: str, name: str, replicas) -> None:
         pq.write_table(tbl, os.path.join(d, f"part-{k:02d}.parquet"))
 
 
-def _splice(text: str | None, tag: str) -> str | None:
-    if text is None:
-        return None
-    words = text.split(" ")
-    out = []
-    for i, w in enumerate(words):
-        if i and i % SPLICE_EVERY == 0:
-            out.append(tag)
-        out.append(w)
-    return " ".join(out)
+def _caesar_table(k: int) -> dict[int, int]:
+    lower = {97 + i: 97 + (i + k) % 26 for i in range(26)}
+    upper = {65 + i: 65 + (i + k) % 26 for i in range(26)}
+    return {**lower, **upper}
 
 
 def main() -> None:
@@ -116,20 +114,27 @@ def main() -> None:
         reps.append((k, t))
     _write(out, "events", reps)
 
-    docs = pq.read_table(os.path.join(src, "documents.parquet")).to_pandas()
+    # pandas round-trips widen types (float32 list -> double list, int32
+    # -> int64); cast every replica back to the SOURCE schema so Spark's
+    # vectorized parquet reader sees one physical type across parts
+    dtbl = pq.read_table(os.path.join(src, "documents.parquet"))
+    docs = dtbl.to_pandas()
     did_span = int(docs["doc_id"].max()) + 1
     reps = []
     for k in range(factor):
         d = docs.copy()
         d["doc_id"] = d["doc_id"] + k * did_span
         if k > 0:
-            tag = f"replicamark{k}"
-            d["text"] = [_splice(t, tag) for t in d["text"]]
-            d["n_chars"] = [len(t) if t is not None else 0 for t in d["text"]]
-        reps.append((k, pa.Table.from_pandas(d, preserve_index=False)))
+            tr = _caesar_table(k)
+            d["text"] = [t.translate(tr) if t is not None else None for t in d["text"]]
+            # length-preserving rewrite: n_chars stays valid as-is
+        reps.append(
+            (k, pa.Table.from_pandas(d, preserve_index=False).cast(dtbl.schema))
+        )
     _write(out, "documents", reps)
 
-    emb = pq.read_table(os.path.join(src, "embeddings.parquet")).to_pandas()
+    etbl = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    emb = etbl.to_pandas()
     vid_span = int(emb["vec_id"].max()) + 1
     reps = []
     for k in range(factor):
@@ -140,7 +145,9 @@ def main() -> None:
                 np.roll(np.asarray(v, dtype=np.float32), k).tolist()
                 for v in e["embedding"]
             ]
-        reps.append((k, pa.Table.from_pandas(e, preserve_index=False)))
+        reps.append(
+            (k, pa.Table.from_pandas(e, preserve_index=False).cast(etbl.schema))
+        )
     _write(out, "embeddings", reps)
     print(f"wrote {out} at {factor}x {src}")
 

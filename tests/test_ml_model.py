@@ -433,15 +433,16 @@ def test_lstm_line_classification_heldout():
 
 
 def test_unet_gradients_match_finite_differences():
-    """Full 13-conv U-Net backprop (im2col convs, tied maxpool routing,
-    nearest upsample, skip concats, weighted softmax loss) vs central
-    finite differences, in float64."""
+    """Full 18-conv 3-level U-Net backprop (im2col convs, tied maxpool
+    routing, nearest upsample, skip concats, weighted softmax loss) vs
+    central finite differences, in float64. 32x32 input: the smallest
+    side the 4x/4x/2x pool stack divides."""
     from theoremkb_spark.ml.unet import UNetSegmenter
 
     rng = np.random.default_rng(0)
     net = UNetSegmenter(seed=3, dtype=np.float64)
-    X = rng.normal(0, 1, (1, 16, 16, 3))
-    gold = rng.integers(0, 3, (1, 16, 16))
+    X = rng.normal(0, 1, (1, 32, 32, 3))
+    gold = rng.integers(0, 3, (1, 32, 32))
     w = np.array([1.0, 2.0, 3.0])
     _loss, grads = net.loss_grads(X, gold, w)
     eps = 1e-6

@@ -37,7 +37,9 @@ C = N_CLASSES
 
 
 def _elu(x: np.ndarray) -> np.ndarray:
-    return np.where(x > 0, x, np.expm1(x))
+    # expm1 evaluated only on the non-positive branch: np.where computes
+    # both branches eagerly, and expm1 on large positives overflows
+    return np.where(x > 0, x, np.expm1(np.minimum(x, 0.0)))
 
 
 def _elu_grad(x: np.ndarray, y: np.ndarray) -> np.ndarray:

@@ -12,10 +12,10 @@ twin keeps every piece of that shape:
   (hpos/vpos/width/height) into (size, size, 3) images — channel 0 ink,
   1 bold, 2 italic — exactly the no-external-data analogue of
   ``paper.render()``;
-* **segment**: a 2-level U-Net (conv3x3 stacks, 4x max-pool, nearest
-  4x up-sample, skip concat, 1x1 softmax head — the reference pools 4x
-  three times at render_size 512; at render_size 64 two levels give the
-  same relative receptive field) with exact im2col backprop;
+* **segment**: a 3-level U-Net (conv3x3 stacks, 4x/4x/2x max-pools,
+  nearest up-samples, skip concats, 1x1 softmax head — the reference
+  pools 4x three times at render_size 512; three levels at render_size
+  96 give a page-spanning receptive field) with exact im2col backprop;
 * **decode**: per-token argmax over summed in-box class probabilities,
   label O when the background class wins — the reference's vote rule.
 
@@ -33,7 +33,7 @@ import numpy as np
 # and a block gap to ~4.3 px — both unambiguous — where 64 px left the
 # gap at 1-2 rows against ~1.4 px line pitch (rounding jitter made the
 # two indistinguishable and capped held-out vote accuracy at ~0.8).
-# Must stay divisible by 16 (two 4x pools).
+# Must stay divisible by 32 (4x, 4x, 2x pools).
 SIZE = 96
 N_SEG_CLASSES = 3  # background / result-statement / proof
 
@@ -70,7 +70,9 @@ def _col2im(dcols: np.ndarray, shape, k: int) -> np.ndarray:
 
 
 def _elu(x):
-    return np.where(x > 0, x, np.expm1(x))
+    # expm1 evaluated only on the non-positive branch: np.where computes
+    # both branches eagerly, and expm1 on large positives overflows
+    return np.where(x > 0, x, np.expm1(np.minimum(x, 0.0)))
 
 
 def _elu_grad(x, y):
@@ -144,9 +146,16 @@ def _upsample_back(dY, f: int):
 
 
 class UNetSegmenter:
-    """2-level U-Net: enc1(3->16,16) pool4 enc2(->32,32) pool4
-    bottleneck(->64,64) up4+conv(->32) skip-concat conv(->32,32)
-    up4+conv(->16) skip-concat conv(->16,16) head 1x1 softmax."""
+    """3-level U-Net (round 4 — the reference pools three times at
+    render_size 512; two levels at 96 px left the bottleneck's relative
+    receptive field at 1/6 of the page, too short for span-extent
+    decisions that reference the nearest styled opener many lines
+    above): enc1(c_in->16,16) pool4 enc2(->32,32) pool4 enc3(->48,48)
+    pool2 bottleneck(->64,64) up2+conv(->48) skip conv(->48,48)
+    up4+conv(->32) skip conv(->32,32) up4+conv(->16) skip conv(->16,16)
+    head 1x1 softmax. The third level runs on a (SIZE/16)^2 grid —
+    negligible compute for a page-spanning receptive field. Input side
+    must be divisible by 32."""
 
     def __init__(self, seed: int = 0, c_in: int = 3, dtype=np.float32):
         rng = np.random.default_rng(seed)
@@ -155,9 +164,14 @@ class UNetSegmenter:
         self.e1b = _Conv(rng, 16, 16, dtype=dtype)
         self.e2a = _Conv(rng, 16, 32, dtype=dtype)
         self.e2b = _Conv(rng, 32, 32, dtype=dtype)
-        self.ba = _Conv(rng, 32, 64, dtype=dtype)
+        self.e3a = _Conv(rng, 32, 48, dtype=dtype)
+        self.e3b = _Conv(rng, 48, 48, dtype=dtype)
+        self.ba = _Conv(rng, 48, 64, dtype=dtype)
         self.bb = _Conv(rng, 64, 64, dtype=dtype)
-        self.u2 = _Conv(rng, 64, 32, dtype=dtype)
+        self.u3 = _Conv(rng, 64, 48, dtype=dtype)
+        self.d3a = _Conv(rng, 96, 48, dtype=dtype)
+        self.d3b = _Conv(rng, 48, 48, dtype=dtype)
+        self.u2 = _Conv(rng, 48, 32, dtype=dtype)
         self.d2a = _Conv(rng, 64, 32, dtype=dtype)
         self.d2b = _Conv(rng, 32, 32, dtype=dtype)
         self.u1 = _Conv(rng, 32, 16, dtype=dtype)
@@ -165,7 +179,8 @@ class UNetSegmenter:
         self.d1b = _Conv(rng, 16, 16, dtype=dtype)
         self.head = _Conv(rng, 16, N_SEG_CLASSES, k=1, act=False, dtype=dtype)
         self.layers = [
-            self.e1a, self.e1b, self.e2a, self.e2b, self.ba, self.bb,
+            self.e1a, self.e1b, self.e2a, self.e2b, self.e3a, self.e3b,
+            self.ba, self.bb, self.u3, self.d3a, self.d3b,
             self.u2, self.d2a, self.d2b, self.u1, self.d1a, self.d1b, self.head,
         ]
 
@@ -180,7 +195,9 @@ class UNetSegmenter:
         p1, self._m1, self._s1shape = _maxpool(s1, 4)
         s2 = self.e2b.forward(self.e2a.forward(p1))
         p2, self._m2, self._s2shape = _maxpool(s2, 4)
-        bt = self.bb.forward(self.ba.forward(p2))
+        s3 = self.e3b.forward(self.e3a.forward(p2))
+        p3, self._m3, self._s3shape = _maxpool(s3, 2)
+        bt = self.bb.forward(self.ba.forward(p3))
         if drop_rng is not None:
             self._dropmask = (
                 drop_rng.random(bt.shape) >= p_drop
@@ -188,7 +205,10 @@ class UNetSegmenter:
             bt = bt * self._dropmask
         else:
             self._dropmask = None
-        up2 = self.u2.forward(_upsample(bt, 4))
+        up3 = self.u3.forward(_upsample(bt, 2))
+        c3 = np.concatenate([s3, up3], axis=3)
+        d3 = self.d3b.forward(self.d3a.forward(c3))
+        up2 = self.u2.forward(_upsample(d3, 4))
         c2 = np.concatenate([s2, up2], axis=3)
         d2 = self.d2b.forward(self.d2a.forward(c2))
         up1 = self.u1.forward(_upsample(d2, 4))
@@ -225,10 +245,15 @@ class UNetSegmenter:
         dd2 = _upsample_back(self.u1.backward(dup1), 4)
         dc2 = self.d2a.backward(self.d2b.backward(dd2))
         ds2_a, dup2 = dc2[..., :32], dc2[..., 32:]
-        dbt = _upsample_back(self.u2.backward(dup2), 4)
+        dd3 = _upsample_back(self.u2.backward(dup2), 4)
+        dc3 = self.d3a.backward(self.d3b.backward(dd3))
+        ds3_a, dup3 = dc3[..., :48], dc3[..., 48:]
+        dbt = _upsample_back(self.u3.backward(dup3), 2)
         if self._dropmask is not None:
             dbt = dbt * self._dropmask
-        dp2 = self.ba.backward(self.bb.backward(dbt))
+        dp3 = self.ba.backward(self.bb.backward(dbt))
+        ds3 = ds3_a + _maxpool_back(dp3, self._m3, self._s3shape, 2)
+        dp2 = self.e3a.backward(self.e3b.backward(ds3))
         ds2 = ds2_a + _maxpool_back(dp2, self._m2, self._s2shape, 4)
         dp1 = self.e2a.backward(self.e2b.backward(ds2))
         ds1 = ds1_a + _maxpool_back(dp1, self._m1, self._s1shape, 4)
@@ -358,12 +383,12 @@ def train_unet(
 
     def token_acc(split, styled_only: bool = False):
         """styled_only=True restricts to tokens inside styled (bold or
-        italic channel) boxes — the subset whose class IS visually
-        determined in this corpus. Block pitch equals line pitch in the
-        synthetic geometry (no paragraph gap, no indent), so a span's
-        EXTENT below its styled opener is not recoverable from pixels;
-        real PDFs (the reference's input) carry visible paragraph
-        spacing. Splitting the metric keeps the ceiling honest."""
+        italic channel) boxes — the opener subset whose class is locally
+        visible; the unstyled remainder measures span EXTENT, which
+        requires the paragraph-gap/indent geometry the corpus carries
+        since round 4 (before that, block pitch == line pitch made
+        extent unrecoverable from pixels and capped the overall metric
+        at 0.65). Splitting the metric keeps both numbers honest."""
         good = total = 0
         for img, _m, boxes in split:
             probs = net.forward(img[None])[0]

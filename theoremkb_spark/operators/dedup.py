@@ -41,13 +41,24 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """-> (id, shingle): distinct word n-grams per document (tokens =
     whitespace-normalized split; sub-n-token documents contribute their
-    whole token string)."""
+    whole token string).
+
+    The word array is projected ONCE before the transform: higher-order
+    functions run interpreted per element, and the original inline form
+    re-evaluated regexp_replace + split (the expensive part) inside
+    every lambda call instead of slicing a materialized array."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ").alias(
+            "_w"
+        ),
+    )
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' '), i, {n})))"
+        f"transform(sequence(1, greatest(size(_w) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(_w, i, {n})))"
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        words.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
 

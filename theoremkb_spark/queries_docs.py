@@ -140,7 +140,15 @@ FROM documents GROUP BY 1 ORDER BY fp
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    d = _t(spark, sf, "documents")
+    # small-file scan artifact: the sf-scale documents table is ONE
+    # parquet split, so the CPU-heavy shingle explode would run in a
+    # single task (measured 3.5 s of a 6 s cold run at sf0.1 — the whole
+    # stage serialized on one core). Spreading the 5k raw doc rows costs
+    # a trivial exchange. At cluster scale the scan itself yields enough
+    # byte-bounded splits and this repartition becomes a no-op to drop.
+    d = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.12).orderBy(
         "id_a", "id_b"
     )
@@ -189,7 +197,11 @@ def q_dedup_minhash_lsh(spark, sf):
     byte-exact vs Spark's xxhash64, pytest-gated), materialized to
     parquet by __spark_entry__; recall vs exact Jaccard is additionally
     pytest-gated."""
-    d = _t(spark, sf, "documents")
+    # same single-split scan artifact as q_dedup_ngram_jaccard: spread
+    # the docs before the shingle explode
+    d = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.12
     ).orderBy("id_a", "id_b")
