@@ -356,6 +356,24 @@ def vote_decode(probs: np.ndarray, boxes) -> list[int]:
     return out
 
 
+def _shift_batch(Xb, Yb, rng, max_dy: int = 8, max_dx: int = 8):
+    """Per-sample random translation of image AND mask together (np.roll
+    on both keeps every pixel label consistent). The pages are rendered
+    margin-to-margin, so a small roll wraps at most one text line across
+    the page edge — cheap translation invariance that multiplies the
+    effective training set without touching the corpus. Off by default;
+    enable via train_unet(augment=True)."""
+    Xa = Xb.copy()
+    Ya = Yb.copy()
+    for i in range(len(Xa)):
+        dy = int(rng.integers(-max_dy, max_dy + 1))
+        dx = int(rng.integers(-max_dx, max_dx + 1))
+        if dy or dx:
+            Xa[i] = np.roll(Xa[i], (dy, dx), axis=(0, 1))
+            Ya[i] = np.roll(Ya[i], (dy, dx), axis=(0, 1))
+    return Xa, Ya
+
+
 def train_unet(
     n_docs: int = 24,
     seed: int = 42,
@@ -364,12 +382,25 @@ def train_unet(
     batch: int = 8,
     heldout_frac: float = 0.25,
     weight_decay: float = 1e-3,
+    augment: bool = False,
+    val_frac: float = 0.0,
 ):
     """Train on the first (1 - heldout_frac) of pages, report token-level
-    vote-decode accuracy on both splits."""
+    vote-decode accuracy on both splits.
+
+    augment=True applies per-batch random shifts (_shift_batch).
+    val_frac>0 carves a validation slice off the END of the training
+    pages, evaluates validation vote accuracy every 5 epochs, and
+    restores the best-validation snapshot before reporting — model
+    selection never sees the held-out split. Both default off so the
+    recorded round-4 numbers stay reproducible."""
     pages = render_pages(n_docs, seed)
     n_hold = max(1, int(len(pages) * heldout_frac))
     train_pages, held_pages = pages[:-n_hold], pages[-n_hold:]
+    val_pages = []
+    if val_frac > 0:
+        n_val = max(1, int(len(train_pages) * val_frac))
+        train_pages, val_pages = train_pages[:-n_val], train_pages[-n_val:]
     X = np.stack([p[0] for p in train_pages])
     Y = np.stack([p[1] for p in train_pages]).astype(np.int64)
     weights = np.array([1.0, 6.0, 6.0])  # background dominates pixels
@@ -403,12 +434,16 @@ def train_unet(
         return good / max(total, 1)
 
     last_loss = float("inf")
+    best_val, best_snap, best_epoch = -1.0, None, -1
     for epoch in range(max_epochs):
         order = rng.permutation(len(X))
         total_l, nb = 0.0, 0
         for s0 in range(0, len(order), batch):
             sel = order[s0 : s0 + batch]
-            loss, grads = net.loss_grads(X[sel], Y[sel], weights, drop_rng=rng)
+            Xb, Yb = X[sel], Y[sel]
+            if augment:
+                Xb, Yb = _shift_batch(Xb, Yb, rng)
+            loss, grads = net.loss_grads(Xb, Yb, weights, drop_rng=rng)
             total_l += loss
             nb += 1
             t += 1
@@ -424,8 +459,19 @@ def train_unet(
                     + weight_decay * p
                 )
         last_loss = total_l / nb
+        if val_pages and epoch % 5 == 4:
+            va = token_acc(val_pages)
+            if va > best_val:
+                best_val, best_epoch = va, epoch + 1
+                best_snap = [p.copy() for p in params]
         if epoch >= 9 and epoch % 5 == 4 and token_acc(train_pages) >= 0.999:
-            break
+            if not val_pages:
+                break
+            if best_val >= 1.0:  # selection can't improve further
+                break
+    if best_snap is not None:
+        for p, s in zip(params, best_snap):
+            p[...] = s
     return {
         "kind": "unet-segmenter",
         "version": 1,
@@ -433,6 +479,9 @@ def train_unet(
         "loss": last_loss,
         "n_train_pages": len(train_pages),
         "n_held_pages": len(held_pages),
+        "n_val_pages": len(val_pages),
+        "val_token_acc": best_val if val_pages else None,
+        "selected_epoch": best_epoch if val_pages else None,
         "train_token_acc": token_acc(train_pages),
         "held_token_acc": token_acc(held_pages),
         "held_styled_token_acc": token_acc(held_pages, styled_only=True),
