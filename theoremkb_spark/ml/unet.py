@@ -384,6 +384,7 @@ def train_unet(
     weight_decay: float = 1e-3,
     augment: bool = False,
     val_frac: float = 0.0,
+    verbose: bool = False,
 ):
     """Train on the first (1 - heldout_frac) of pages, report token-level
     vote-decode accuracy on both splits.
@@ -459,8 +460,12 @@ def train_unet(
                     + weight_decay * p
                 )
         last_loss = total_l / nb
+        if verbose:
+            print(f"epoch {epoch + 1} loss {last_loss:.4f}", flush=True)
         if val_pages and epoch % 5 == 4:
             va = token_acc(val_pages)
+            if verbose:
+                print(f"epoch {epoch + 1} val_acc {va:.4f}", flush=True)
             if va > best_val:
                 best_val, best_epoch = va, epoch + 1
                 best_snap = [p.copy() for p in params]
