@@ -28,8 +28,14 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--val-frac", type=float, default=0.15)
     ap.add_argument("--no-augment", action="store_true")
+    ap.add_argument("--max-pages-per-doc", type=int, default=None,
+                    help="truncate each doc to its first N pages (doc 0 is a "
+                         "deliberate 30x long paper; uncapped it dominates "
+                         "the training set)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default="BENCH/UNET_r04.json")
+    ap.add_argument("--save-weights", default=None,
+                    help="optional .npz path for the trained parameters")
     args = ap.parse_args()
 
     from theoremkb_spark.ml.unet import train_unet
@@ -41,9 +47,14 @@ def main() -> None:
         max_epochs=args.epochs,
         augment=not args.no_augment,
         val_frac=args.val_frac,
+        max_pages_per_doc=args.max_pages_per_doc,
         verbose=True,
     )
     wall = time.time() - t0
+    if args.save_weights:
+        from theoremkb_spark.ml.unet import save_unet
+
+        save_unet(art["model"], args.save_weights)
     row = {k: v for k, v in art.items() if k != "model"}
     row.update(
         n_docs=args.n_docs,

@@ -495,3 +495,95 @@ def test_unet_trains_above_majority_baseline():
         art["train_token_acc"],
         majority,
     )
+
+
+def test_unet_save_load_roundtrip(tmp_path):
+    """save_unet -> load_unet reproduces the exact forward pass on a
+    fresh net (no backward has run), byte-identical probabilities."""
+    from theoremkb_spark.ml.unet import (
+        UNetSegmenter, load_unet, render_pages, save_unet,
+    )
+
+    net = UNetSegmenter(seed=3, c_in=5)
+    img = render_pages(1, seed=9)[0][0][None]
+    want = net.forward(img)
+    path = str(tmp_path / "unet.npz")
+    save_unet(net, path)
+    got = load_unet(path).forward(img)
+    assert got.dtype == want.dtype and np.array_equal(got, want)
+
+
+def test_unet_shipped_artifact_heldout_accuracy():
+    """Eval-only gate on the committed full-training artifact: held-out
+    vote accuracy >= 0.9 on the SAME held-out split the training run
+    reported (last heldout_frac=0.25 of render_pages pages for the
+    n_docs/seed recorded beside the weights). Skips when the artifact
+    is absent (full training is ~90 min and lives outside CI)."""
+    import json
+    from pathlib import Path
+
+    from theoremkb_spark.ml.unet import load_unet, render_pages, vote_decode
+
+    art_dir = Path(__file__).resolve().parent.parent / "theoremkb_spark" / "ml" / "artifacts"
+    npz = art_dir / "unet_full.npz"
+    meta_p = art_dir / "unet_full.json"
+    if not npz.exists() or not meta_p.exists():
+        pytest.skip("full-training U-Net artifact not shipped")
+    meta = json.loads(meta_p.read_text())
+    net = load_unet(str(npz))
+    pages = render_pages(
+        meta["n_docs"], meta["seed"],
+        max_pages_per_doc=meta.get("max_pages_per_doc"),
+    )
+    n_hold = max(1, int(len(pages) * 0.25))
+    good = total = 0
+    for img, _m, boxes in pages[-n_hold:]:
+        pred = vote_decode(net.forward(img[None])[0], boxes)
+        for p, (_, _, _, _, g) in zip(pred, boxes):
+            good += int(p == g)
+            total += 1
+    acc = good / total
+    assert acc >= 0.9, (acc, meta)
+
+
+def test_shift_batch_zero_fills_no_wrap():
+    """Shifted-out content must vanish, not wrap to the opposite edge,
+    and image/mask must move together (round-4 post-mortem: np.roll
+    wrapping collapsed held-out accuracy)."""
+    from theoremkb_spark.ml.unet import _shift_batch
+
+    rng = np.random.default_rng(0)
+    X = np.zeros((6, 16, 16, 5))
+    Y = np.zeros((6, 16, 16), dtype=np.int64)
+    X[:, 0, :, 0] = 1.0   # content on the top row
+    Y[:, 0, :] = 2
+    Xa, Ya = _shift_batch(X, Y, rng)
+    for i in range(len(Xa)):
+        rows = np.where(Ya[i].any(axis=1))[0]
+        assert len(rows) <= 1  # never split across both edges
+        img_rows = np.where(Xa[i, :, :, 0].any(axis=1))[0]
+        assert np.array_equal(rows, img_rows)  # mask tracks image
+        if len(rows):
+            assert rows[0] <= 3  # shifted at most max_dy, no wrap to bottom
+    # labels preserved where content survives
+    assert all(Ya[i][Xa[i, :, :, 0] > 0].min(initial=2) == 2 for i in range(6))
+
+
+def test_unet_val_carve_is_doc_aligned():
+    """With the per-doc page cap (the training config since the round-4
+    diversity fix), the val carve must land exactly on a document
+    boundary; uncapped, doc 0's 30x page count swallows the whole train
+    prefix, which is the documented failure the cap exists to fix."""
+    from theoremkb_spark.ml.unet import render_pages
+
+    pages, doc_ids = render_pages(12, with_doc_ids=True, max_pages_per_doc=8)
+    assert len(pages) == len(doc_ids)
+    assert max(doc_ids.count(d) for d in set(doc_ids)) <= 8
+    # replicate train_unet's carve and assert no doc straddles the cut
+    n_hold = max(1, int(len(pages) * 0.25))
+    train_ids = doc_ids[:-n_hold]
+    n_val = max(1, int(len(train_ids) * 0.15))
+    cut = len(train_ids) - n_val
+    while cut > 0 and train_ids[cut - 1] == train_ids[cut]:
+        cut -= 1
+    assert cut > 0 and train_ids[cut - 1] != train_ids[cut]

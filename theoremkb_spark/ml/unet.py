@@ -230,7 +230,9 @@ class UNetSegmenter:
         norm = wpix.sum()
         pg = probs[np.arange(b)[:, None, None], np.arange(h)[None, :, None],
                    np.arange(w)[None, None, :], gold]
-        loss = float(-(wpix * np.log(pg + 1e-300)).sum() / norm)
+        # clamp rather than add: a float32 pg swallows tiny addends by
+        # underflow, so `pg + 1e-300` can still hit log(0)
+        loss = float(-(wpix * np.log(np.maximum(pg, 1e-30))).sum() / norm)
 
         dlogits = probs * wpix[..., None]
         onehot = np.zeros_like(probs)
@@ -269,7 +271,9 @@ class UNetSegmenter:
 # ---------------------------------------------------- rendering + decode
 
 
-def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE):
+def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE,
+                 with_doc_ids: bool = False,
+                 max_pages_per_doc: int | None = None):
     """Deterministic page rasters from the extracted token geometry —
     the no-external-data analogue of the reference's ``paper.render()``,
     INCLUDING its second input: the reference paints a word-vocabulary
@@ -278,7 +282,17 @@ def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE):
     here are that input reduced to the two indicator families that
     matter (result-keyword pattern / proof-keyword pattern).
     Returns [(img (size,size,5), gold_mask (size,size) int8,
-    boxes [(y0,y1,x0,x1,gold_cls)])] — one entry per page."""
+    boxes [(y0,y1,x0,x1,gold_cls)])] — one entry per page; with
+    ``with_doc_ids=True`` also returns a parallel list of document
+    indices so callers can split on document boundaries.
+
+    ``max_pages_per_doc`` truncates each document to its first N pages.
+    The corpus deliberately makes doc 0 a 30x long paper (the skew
+    target for the join operators, generator.py::build_doc) — untruncated
+    it contributes ~157 of a 24-doc corpus's 217 pages, so a page-count
+    train/val/held split trains on essentially ONE document's layout
+    (the round-4 post-mortem behind the 0.652 held-out collapse).
+    Capping restores document diversity per training page."""
     from ..corpus.generator import build_corpus, render_html
     from ..functions.text import RESULT_LABELS, get_pattern
     from ..pipeline.extract import _parse_tokens
@@ -287,7 +301,8 @@ def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE):
     label_set = frozenset(RESULT_LABELS)
 
     out = []
-    for doc, _targets in build_corpus(n_docs, seed):
+    doc_ids = []
+    for doc_i, (doc, _targets) in enumerate(build_corpus(n_docs, seed)):
         if doc.lang != "en":
             continue
         toks = _parse_tokens(doc.url, render_html(doc))
@@ -311,6 +326,8 @@ def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE):
             cls.append(0 if open_lab is None else (2 if open_lab == "proof" else 1))
 
         pages = sorted({t[1] for t in toks})
+        if max_pages_per_doc is not None:
+            pages = pages[:max_pages_per_doc]
         for pg in pages:
             sel = [i for i, t in enumerate(toks) if t[1] == pg]
             xs = [toks[i][6] for i in sel]
@@ -342,6 +359,9 @@ def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE):
                 mask[y0:y1, x0:x1] = cls[i]
                 boxes.append((y0, y1, x0, x1, cls[i]))
             out.append((img, mask, boxes))
+            doc_ids.append(doc_i)
+    if with_doc_ids:
+        return out, doc_ids
     return out
 
 
@@ -356,21 +376,28 @@ def vote_decode(probs: np.ndarray, boxes) -> list[int]:
     return out
 
 
-def _shift_batch(Xb, Yb, rng, max_dy: int = 8, max_dx: int = 8):
-    """Per-sample random translation of image AND mask together (np.roll
-    on both keeps every pixel label consistent). The pages are rendered
-    margin-to-margin, so a small roll wraps at most one text line across
-    the page edge — cheap translation invariance that multiplies the
-    effective training set without touching the corpus. Off by default;
-    enable via train_unet(augment=True)."""
-    Xa = Xb.copy()
-    Ya = Yb.copy()
+def _shift_batch(Xb, Yb, rng, max_dy: int = 3, max_dx: int = 3):
+    """Per-sample random translation of image AND mask together,
+    zero-filling the vacated border (shifted-in pixels are blank ink =
+    background label, so every pixel stays consistent). Round-4
+    post-mortem (BENCH/UNET_r04.json): the first version used np.roll
+    with max shift 8 — at ~3 px line pitch that WRAPS 2-3 text lines
+    across the page edge, planting span bodies whose styled opener sits
+    at the opposite page border; trained on that, held-out vote accuracy
+    collapsed to 0.652 vs 0.84 unaugmented. Off by default; enable via
+    train_unet(augment=True)."""
+    Xa = np.zeros_like(Xb)
+    Ya = np.zeros_like(Yb)
+    h, w = Xb.shape[1:3]
     for i in range(len(Xa)):
         dy = int(rng.integers(-max_dy, max_dy + 1))
         dx = int(rng.integers(-max_dx, max_dx + 1))
-        if dy or dx:
-            Xa[i] = np.roll(Xa[i], (dy, dx), axis=(0, 1))
-            Ya[i] = np.roll(Ya[i], (dy, dx), axis=(0, 1))
+        ys, yd = (slice(0, h - dy), slice(dy, h)) if dy >= 0 else (
+            slice(-dy, h), slice(0, h + dy))
+        xs, xd = (slice(0, w - dx), slice(dx, w)) if dx >= 0 else (
+            slice(-dx, w), slice(0, w + dx))
+        Xa[i, yd, xd] = Xb[i, ys, xs]
+        Ya[i, yd, xd] = Yb[i, ys, xs]
     return Xa, Ya
 
 
@@ -384,6 +411,7 @@ def train_unet(
     weight_decay: float = 1e-3,
     augment: bool = False,
     val_frac: float = 0.0,
+    max_pages_per_doc: int | None = None,
     verbose: bool = False,
 ):
     """Train on the first (1 - heldout_frac) of pages, report token-level
@@ -395,13 +423,25 @@ def train_unet(
     restores the best-validation snapshot before reporting — model
     selection never sees the held-out split. Both default off so the
     recorded round-4 numbers stay reproducible."""
-    pages = render_pages(n_docs, seed)
+    pages, doc_ids = render_pages(
+        n_docs, seed, with_doc_ids=True, max_pages_per_doc=max_pages_per_doc
+    )
     n_hold = max(1, int(len(pages) * heldout_frac))
     train_pages, held_pages = pages[:-n_hold], pages[-n_hold:]
     val_pages = []
     if val_frac > 0:
+        # carve on a DOCUMENT boundary: a page-count carve leaves the
+        # straddling document's earlier pages in train, so validation
+        # measures within-doc generalization and over-reports (round-4
+        # post-mortem: page-carved val 0.927 while truly-unseen held
+        # pages scored 0.652 on the same model)
         n_val = max(1, int(len(train_pages) * val_frac))
-        train_pages, val_pages = train_pages[:-n_val], train_pages[-n_val:]
+        cut = len(train_pages) - n_val
+        while cut > 0 and doc_ids[cut - 1] == doc_ids[cut]:
+            cut -= 1
+        if cut == 0:  # single-document corpus: page carve beats no train set
+            cut = len(train_pages) - n_val
+        train_pages, val_pages = train_pages[:cut], train_pages[cut:]
     X = np.stack([p[0] for p in train_pages])
     Y = np.stack([p[1] for p in train_pages]).astype(np.int64)
     weights = np.array([1.0, 6.0, 6.0])  # background dominates pixels
@@ -487,8 +527,38 @@ def train_unet(
         "n_val_pages": len(val_pages),
         "val_token_acc": best_val if val_pages else None,
         "selected_epoch": best_epoch if val_pages else None,
+        "max_pages_per_doc": max_pages_per_doc,
         "train_token_acc": token_acc(train_pages),
         "held_token_acc": token_acc(held_pages),
         "held_styled_token_acc": token_acc(held_pages, styled_only=True),
         "model": net,
     }
+
+
+def save_unet(net: UNetSegmenter, path: str) -> None:
+    """Persist trained parameters as a compressed npz (keyed p00..pNN in
+    ``params_grads`` order, which is fixed by the ``layers`` list). Full
+    training is ~90 min on this host, so the shipped artifact is a
+    committed file, unlike the seconds-scale CRF's train-once cache."""
+    params = [p for layer in net.layers for p in (layer.W, layer.b)]
+    np.savez_compressed(path, **{f"p{i:02d}": p for i, p in enumerate(params)})
+
+
+def load_unet(path: str) -> UNetSegmenter:
+    """Rebuild a UNetSegmenter from ``save_unet`` output. c_in is
+    inferred from the first encoder conv's flattened-kernel rows
+    (k=3 -> 9*c_in). Walks ``layers`` (W, b) pairs rather than
+    ``params_grads`` so it works on a fresh net (grads don't exist
+    before the first backward)."""
+    data = np.load(path)
+    arrs = [data[k] for k in sorted(data.files)]
+    c_in = arrs[0].shape[0] // 9
+    net = UNetSegmenter(seed=0, c_in=c_in, dtype=arrs[0].dtype)
+    params = [p for layer in net.layers for p in (layer.W, layer.b)]
+    if len(params) != len(arrs):
+        raise ValueError(f"artifact has {len(arrs)} arrays, model expects {len(params)}")
+    for p, a in zip(params, arrs):
+        if p.shape != a.shape:
+            raise ValueError(f"shape mismatch: {p.shape} vs {a.shape}")
+        p[...] = a
+    return net
