@@ -330,32 +330,20 @@ def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE,
             pages = pages[:max_pages_per_doc]
         for pg in pages:
             sel = [i for i, t in enumerate(toks) if t[1] == pg]
-            xs = [toks[i][6] for i in sel]
-            ys = [toks[i][7] for i in sel]
-            ws = [toks[i][8] for i in sel]
-            hs = [toks[i][9] for i in sel]
-            if not xs:
+            if not sel:
                 continue
-            max_x = max(x + w for x, w in zip(xs, ws)) or 1.0
-            max_y = max(y + h for y, h in zip(ys, hs)) or 1.0
-            sx, sy = (size - 1) / max_x, (size - 1) / max_y
-            img = np.zeros((size, size, 5))
+            geom = [
+                (
+                    toks[i][6], toks[i][7], toks[i][8], toks[i][9],
+                    bold[i], italic[i],
+                    pats[i] in label_set, pats[i] == "proof",
+                )
+                for i in sel
+            ]
+            img, bxs = rasterize_page(geom, size)
             mask = np.zeros((size, size), dtype=np.int8)
             boxes = []
-            for i in sel:
-                x0 = int(toks[i][6] * sx)
-                x1 = max(x0 + 1, int((toks[i][6] + toks[i][8]) * sx))
-                y0 = int(toks[i][7] * sy)
-                y1 = max(y0 + 1, int((toks[i][7] + toks[i][9]) * sy))
-                img[y0:y1, x0:x1, 0] = 1.0
-                if bold[i]:
-                    img[y0:y1, x0:x1, 1] = 1.0
-                if italic[i]:
-                    img[y0:y1, x0:x1, 2] = 1.0
-                if pats[i] in label_set:
-                    img[y0:y1, x0:x1, 3] = 1.0
-                if pats[i] == "proof":
-                    img[y0:y1, x0:x1, 4] = 1.0
+            for (y0, y1, x0, x1), i in zip(bxs, sel):
                 mask[y0:y1, x0:x1] = cls[i]
                 boxes.append((y0, y1, x0, x1, cls[i]))
             out.append((img, mask, boxes))
@@ -365,12 +353,45 @@ def render_pages(n_docs: int = 24, seed: int = 42, size: int = SIZE,
     return out
 
 
+def rasterize_page(geom, size: int = SIZE):
+    """The ONE page raster both the trainer (render_pages) and the
+    distributed applier (operators/segmentation.py::segment_tokens)
+    consume, so training and Spark-side inference can never drift:
+    token boxes scaled to fill (size-1)^2, channels = ink / bold /
+    italic / result-keyword pattern / proof-keyword pattern.
+
+    geom: sequence of (x, y, w, h, bold, italic, is_result_pattern,
+    is_proof_pattern) per token. Returns (img (size,size,5) float64,
+    boxes [(y0, y1, x0, x1)] in input order)."""
+    max_x = max((x + w for x, _y, w, _h, *_ in geom), default=0.0) or 1.0
+    max_y = max((y + h for _x, y, _w, h, *_ in geom), default=0.0) or 1.0
+    sx, sy = (size - 1) / max_x, (size - 1) / max_y
+    img = np.zeros((size, size, 5))
+    boxes = []
+    for x, y, w, h, is_bold, is_italic, is_res, is_proof in geom:
+        x0 = int(x * sx)
+        x1 = max(x0 + 1, int((x + w) * sx))
+        y0 = int(y * sy)
+        y1 = max(y0 + 1, int((y + h) * sy))
+        img[y0:y1, x0:x1, 0] = 1.0
+        if is_bold:
+            img[y0:y1, x0:x1, 1] = 1.0
+        if is_italic:
+            img[y0:y1, x0:x1, 2] = 1.0
+        if is_res:
+            img[y0:y1, x0:x1, 3] = 1.0
+        if is_proof:
+            img[y0:y1, x0:x1, 4] = 1.0
+        boxes.append((y0, y1, x0, x1))
+    return img, boxes
+
+
 def vote_decode(probs: np.ndarray, boxes) -> list[int]:
     """The reference's _labels_to_annots vote rule: per token, sum class
     probabilities over the pixels of its box, argmax; background class
     wins -> O."""
     out = []
-    for y0, y1, x0, x1, _g in boxes:
+    for y0, y1, x0, x1, *_ in boxes:  # gold tail optional (inference boxes)
         votes = probs[y0:y1, x0:x1].sum(axis=(0, 1))
         out.append(int(np.argmax(votes)))
     return out
@@ -545,13 +566,19 @@ def save_unet(net: UNetSegmenter, path: str) -> None:
 
 
 def load_unet(path: str) -> UNetSegmenter:
-    """Rebuild a UNetSegmenter from ``save_unet`` output. c_in is
-    inferred from the first encoder conv's flattened-kernel rows
+    """Rebuild a UNetSegmenter from ``save_unet`` output."""
+    data = np.load(path)
+    return net_from_params([data[k] for k in sorted(data.files)])
+
+
+def net_from_params(arrs) -> UNetSegmenter:
+    """Rebuild a UNetSegmenter from an ordered parameter list (e.g. a
+    Spark broadcast of the npz arrays — executors reconstruct from the
+    broadcast, never from a file path that may not exist cluster-side).
+    c_in is inferred from the first encoder conv's flattened-kernel rows
     (k=3 -> 9*c_in). Walks ``layers`` (W, b) pairs rather than
     ``params_grads`` so it works on a fresh net (grads don't exist
     before the first backward)."""
-    data = np.load(path)
-    arrs = [data[k] for k in sorted(data.files)]
     c_in = arrs[0].shape[0] // 9
     net = UNetSegmenter(seed=0, c_in=c_in, dtype=arrs[0].dtype)
     params = [p for layer in net.layers for p in (layer.W, layer.b)]
