@@ -149,3 +149,26 @@ def test_headline_plan_invariants(spark, name):
     # document scans must never drag the heavy unused columns
     for cols, _pf in f["scans"]:
         assert "html" not in cols, (name, cols)
+
+
+def test_segment_tokens_plan_shape(spark):
+    """Distributed U-Net inference is page-local by construction: the
+    ONLY exchange is the (url, page) group hash, the input projection
+    is pruned to the 11 raster columns, and no join operator of any
+    kind appears (weights ride a broadcast VARIABLE, not a join)."""
+    import os
+
+    import pytest
+
+    from theoremkb_spark.operators.segmentation import (
+        default_weights_path, segment_tokens,
+    )
+    from theoremkb_spark.pipeline.extract import extract_tokens, load_pages
+
+    if not os.path.exists(default_weights_path()):
+        pytest.skip("full-training U-Net artifact not shipped")
+    plan = _plan(segment_tokens(extract_tokens(load_pages(spark, 2))))
+    assert len(_exchange_ids(plan)) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    for op in ("Join", "Cartesian", "SortMergeJoin", "BroadcastHashJoin"):
+        assert op not in plan, op
