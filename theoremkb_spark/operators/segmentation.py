@@ -67,6 +67,13 @@ def segment_tokens(tokens: DataFrame, weights_path: str | None = None) -> DataFr
         if net is None:
             net = _NET_CACHE[cache_key] = net_from_params(bc.value)
         label_set = frozenset(RESULT_LABELS)
+        # TOKEN_SCHEMA marks these nullable; a null must degrade to the
+        # empty box / plain style, never crash (int(nan)) or silently
+        # set a channel (bool(nan) is True)
+        pdf = pdf.fillna(
+            {"hpos": 0.0, "vpos": 0.0, "width": 0.0, "height": 0.0,
+             "bold": False, "italic": False, "text": ""}
+        )
         pats = [get_pattern(t) for t in pdf["text"]]
         geom = [
             (x, y, w, h, bool(b), bool(it), p in label_set, p == "proof")
