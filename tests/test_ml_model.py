@@ -587,3 +587,29 @@ def test_unet_val_carve_is_doc_aligned():
     while cut > 0 and train_ids[cut - 1] == train_ids[cut]:
         cut -= 1
     assert cut > 0 and train_ids[cut - 1] != train_ids[cut]
+
+
+def test_crf_artifact_ships_with_package(tmp_path):
+    """A fresh out_dir must be seeded from the packaged default-config
+    artifact (no ~100 s retrain), and the copy must load as a working
+    tagger that still decodes the gold tags of a training doc."""
+    import os
+    import time
+    from pathlib import Path
+
+    import theoremkb_spark.ml.crf as crf_mod
+    from theoremkb_spark.ml.crf import ensure_crf_artifact, load_artifact
+
+    shipped = Path(crf_mod.__file__).parent / "artifacts" / "crf_lbfgs_v2.pkl"
+    if not shipped.exists():
+        pytest.skip("packaged CRF artifact not shipped")
+    t0 = time.time()
+    path = ensure_crf_artifact(str(tmp_path))
+    assert time.time() - t0 < 10, "shipped artifact should copy, not retrain"
+    assert os.path.exists(path)
+    m = load_artifact(path)
+    pats, flags, gold = _training_docs(1, 42)[0]
+    ids = np.fromiter(
+        (m.vocab.get(p, 0) for p in pats), dtype=np.int64, count=len(pats)
+    )
+    assert np.array_equal(m.viterbi(ids, flags), gold)
