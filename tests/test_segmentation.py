@@ -32,10 +32,11 @@ def test_segment_tokens_matches_local_twin(spark):
     from theoremkb_spark.pipeline.extract import _parse_tokens, extract_tokens, load_pages
 
     n_docs = 4
+    seg_rows = segment_tokens(extract_tokens(load_pages(spark, n_docs))).collect()
     got = {
-        (r.url, r.page, r.line, r.word): r.seg_class
-        for r in segment_tokens(extract_tokens(load_pages(spark, n_docs))).collect()
+        (r.url, r.page, r.block, r.line, r.word): r.seg_class for r in seg_rows
     }
+    assert len(got) == len(seg_rows)  # (url,page,block,line,word) keys a token
 
     net = load_unet(str(ART_DIR / "unet_full.npz"))
     label_set = frozenset(RESULT_LABELS)
@@ -55,7 +56,7 @@ def test_segment_tokens_matches_local_twin(spark):
             img, boxes = rasterize_page(geom)
             cls = vote_decode(net.forward(img[None])[0], boxes)
             for t, c in zip(sel, cls):
-                want[(t[0], t[1], t[3], t[4])] = c
+                want[(t[0], t[1], t[2], t[3], t[4])] = c
 
     assert len(got) == len(want) > 0
     diffs = [k for k in want if got[k] != want[k]]
@@ -85,3 +86,64 @@ def test_shipped_unet_generalizes_cross_seed():
             total += 1
     acc = good / total
     assert acc >= 0.9, (acc, total)
+
+
+def test_segments_to_spans_matches_sequential_twin(spark):
+    """The gaps-islands rollup vs a plain sequential pass over the SAME
+    per-token classes in reading order (block, line, word): identical
+    span sets, and exactly one exchange in the rollup's plan (the window
+    partitioning is reused by the group-by)."""
+    _require_artifact()
+    import re
+
+    from theoremkb_spark.operators.segmentation import (
+        segment_tokens, segments_to_spans,
+    )
+    from theoremkb_spark.pipeline.extract import extract_tokens, load_pages
+
+    seg = segment_tokens(extract_tokens(load_pages(spark, 6))).cache()
+    try:
+        rows = sorted(
+            seg.collect(), key=lambda r: (r.url, r.page, r.block, r.line, r.word)
+        )
+        want = set()
+        cur = None  # [(url, page, cls), start, end, n]
+        for r in rows:
+            key = (r.url, r.page, r.seg_class)
+            pos = (r.block, r.line, r.word)
+            if cur is not None and cur[0] != key:
+                if cur[0][2] != 0:
+                    want.add((*cur[0][:2], cur[0][2], *cur[1], *cur[2], cur[3]))
+                cur = None
+            if cur is None:
+                cur = [key, pos, pos, 1]
+            else:
+                cur[2] = pos
+                cur[3] += 1
+        if cur is not None and cur[0][2] != 0:
+            want.add((*cur[0][:2], cur[0][2], *cur[1], *cur[2], cur[3]))
+
+        spans = segments_to_spans(seg)
+        got = {
+            (r.url, r.page, r.seg_class,
+             r.block_start, r.line_start, r.word_start,
+             r.block_end, r.line_end, r.word_end, r.n_tokens)
+            for r in spans.collect()
+        }
+        assert got == want, (len(got), len(want))
+
+        # the rollup adds exactly ONE exchange key beyond segment_tokens'
+        # own (url, page) repartition: the window's identical hash —
+        # grouped-Pandas output doesn't advertise partitioning, and the
+        # aggregate reuses the window's. Normalize away expr-ids and AQE
+        # stage re-listings before counting.
+        plan = spans._jdf.queryExecution().executedPlan().toString()
+        keys = {
+            re.sub(r"#\d+", "", m)
+            for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        }
+        assert len(keys) <= 2, keys
+        for op in ("Join", "Cartesian"):
+            assert op not in plan, op
+    finally:
+        seg.unpersist()

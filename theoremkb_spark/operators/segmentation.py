@@ -25,13 +25,15 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyspark.sql.functions as F
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 SEG_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("page", T.IntegerType(), False),
+        T.StructField("block", T.IntegerType(), False),
         T.StructField("line", T.IntegerType(), False),
         T.StructField("word", T.IntegerType(), False),
         T.StructField("seg_class", T.IntegerType(), False),
@@ -49,9 +51,11 @@ def default_weights_path() -> str:
 
 
 def segment_tokens(tokens: DataFrame, weights_path: str | None = None) -> DataFrame:
-    """tokens (extract.TOKEN_SCHEMA) -> (url, page, line, word,
+    """tokens (extract.TOKEN_SCHEMA) -> (url, page, block, line, word,
     seg_class) with seg_class in {0 background, 1 result-statement,
-    2 proof} from the shipped U-Net's box vote."""
+    2 proof} from the shipped U-Net's box vote. (block rides along
+    because line/word numbering restarts per block — (page, line, word)
+    alone does not key a token.)"""
     spark = tokens.sparkSession
     path = weights_path or default_weights_path()
     with np.load(path) as z:
@@ -88,13 +92,14 @@ def segment_tokens(tokens: DataFrame, weights_path: str | None = None) -> DataFr
             {
                 "url": pdf["url"].to_numpy(),
                 "page": pdf["page"].to_numpy(),
+                "block": pdf["block"].to_numpy(),
                 "line": pdf["line"].to_numpy(),
                 "word": pdf["word"].to_numpy(),
                 "seg_class": np.asarray(cls, dtype=np.int32),
             }
         )
 
-    cols = ["url", "page", "line", "word", "text",
+    cols = ["url", "page", "block", "line", "word", "text",
             "hpos", "vpos", "width", "height", "bold", "italic"]
     # explicit REPARTITION_BY_NUM on the group keys: the stage is
     # CPU-bound (~37 ms/page forward) on BYTE-tiny data, so AQE's
@@ -108,4 +113,51 @@ def segment_tokens(tokens: DataFrame, weights_path: str | None = None) -> DataFr
         .repartition(npart, "url", "page")
         .groupBy("url", "page")
         .applyInPandas(run, SEG_SCHEMA)
+    )
+
+
+def segments_to_spans(seg: DataFrame) -> DataFrame:
+    """Per-token classes -> contiguous annotation spans, the reference's
+    ``_labels_to_annots`` completion (cnn.py:113-126: successive tokens
+    of one predicted class merge into one annotation box).
+
+    Gaps-islands in ONE pass: a lag-based boundary flag and its running
+    sum share the (url, page) window partitioning, and the final rollup
+    groups on a superset of the same keys, so the whole operator adds
+    exactly ONE exchange on top of its input (the window's — grouped-
+    Pandas output does not advertise partitioning, so Catalyst cannot
+    prove segment_tokens' identical hash reusable; the aggregate itself
+    adds none). Background (class 0) is dropped after numbering so
+    island ids stay aligned with the token stream.
+
+    Reading order is (block, line, word) — line/word numbering restarts
+    per block, so ordering by line alone would interleave blocks.
+    Returns (url, page, seg_class, block_start, line_start, word_start,
+    block_end, line_end, word_end, n_tokens); spans may cross block
+    boundaries (a proof spans multiple paragraphs)."""
+    w = Window.partitionBy("url", "page").orderBy("block", "line", "word")
+    is_new = (
+        F.col("seg_class") != F.lag("seg_class").over(w)
+    ) | F.lag("seg_class").over(w).isNull()
+    return (
+        seg.withColumn("_isl", F.sum(is_new.cast("int")).over(w))
+        .filter(F.col("seg_class") != 0)
+        .groupBy("url", "page", "seg_class", "_isl")
+        .agg(
+            F.min(F.struct("block", "line", "word")).alias("_s"),
+            F.max(F.struct("block", "line", "word")).alias("_e"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "url",
+            "page",
+            "seg_class",
+            F.col("_s.block").alias("block_start"),
+            F.col("_s.line").alias("line_start"),
+            F.col("_s.word").alias("word_start"),
+            F.col("_e.block").alias("block_end"),
+            F.col("_e.line").alias("line_end"),
+            F.col("_e.word").alias("word_end"),
+            "n_tokens",
+        )
     )
