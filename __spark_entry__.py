@@ -90,8 +90,9 @@ def _materialize_once(name: str, sf_dir: str | None, src_file: str, build):
     src = os.path.join(sf_dir, src_file)
     # "ver" invalidates markers written before a fixture-set change
     # (e.g. adding the linkfuzzy oracle, the round-3 pixel-feature
-    # multimodal oracle schema, or the round-4 mixed BMP/PNG payloads)
-    stamp = {"sf_dir": sf_dir, "src_mtime": os.path.getmtime(src), "ver": 5}
+    # multimodal oracle schema, the round-4 mixed BMP/PNG payloads, or
+    # the round-5 hashed-shingle fuzzy-link signatures)
+    stamp = {"sf_dir": sf_dir, "src_mtime": os.path.getmtime(src), "ver": 6}
     if current == stamp:
         return
     build(sf_dir)

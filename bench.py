@@ -19,9 +19,14 @@ dedup_minhash_lsh number. Since round 4 EVERY query's reps are
 round-robined across the whole run (round 3 interleaved only the kg
 reps): rep i of every query runs before rep i+1 of any query, so the
 min of each query escapes any burst shorter than the full bench run —
-at zero extra wall cost. Per-rep wall times and the 1-minute load
-average sampled before each round are emitted in the JSON so a noisy
-run is adjudicable from the artifact alone.
+at zero extra wall cost. Since round 5 the run additionally REFUSES to
+trust an unconfirmed min: any query whose best rep is not reproduced
+within 25% by a second rep keeps re-running in extra interleaved
+rounds (up to 9 reps total), so a burst spanning the whole base window
+must persist across every extra round to survive into the headline
+number. Per-rep wall times and the 1-minute load average sampled
+before each round are emitted in the JSON so a noisy run is
+adjudicable from the artifact alone.
 """
 
 from __future__ import annotations
@@ -113,18 +118,50 @@ def main() -> None:
     kg_times: list[float] = [kg_rep()]  # one rep up front (warm path just ran)
     load_1m: list[float] = []
 
+    def _timed(name: str) -> None:
+        fn = registry[name][0]
+        t0 = time.time()
+        _force(fn(spark, SF_DIR))
+        per_rep[name].append(round(time.time() - t0, 3))
+
     for _round in range(n_rounds):
         load_1m.append(round(os.getloadavg()[0], 1))
         for name in HEADLINE:
-            fn = registry[name][0]
-            t0 = time.time()
-            _force(fn(spark, SF_DIR))
-            per_rep[name].append(round(time.time() - t0, 3))
+            _timed(name)
         # one kg rep per round keeps the long pole interleaved too
         kg_times.append(kg_rep())
-    load_1m.append(round(os.getloadavg()[0], 1))
     while len(kg_times) < n_rounds + 2:
         kg_times.append(kg_rep())
+
+    # Adaptive escape (round-5): a query's min is TRUSTED only once a
+    # second rep lands within 25% of it. Until then the query re-runs in
+    # extra interleaved rounds (bounded), so a co-tenant burst spanning
+    # the whole base window can inflate individual reps but cannot fix
+    # the reported min — the burst would have to persist across every
+    # extra round too. Bound: MAX_REPS total reps per query (>= 6 reps
+    # attempted on any query that never settles, per the round-4 ask).
+    MAX_REPS = 9
+
+    def _settled(ts: list[float]) -> bool:
+        lo = min(ts)
+        return sum(1 for t in ts if t <= lo * 1.25) >= 2
+
+    extra_rounds = 0
+    for _extra in range(MAX_REPS - n_rounds):
+        pending = [
+            n for n in HEADLINE
+            if not _settled(per_rep[n]) and len(per_rep[n]) < MAX_REPS
+        ]
+        kg_pending = not _settled(kg_times) and len(kg_times) < MAX_REPS
+        if not pending and not kg_pending:
+            break
+        extra_rounds += 1
+        load_1m.append(round(os.getloadavg()[0], 1))
+        for name in pending:
+            _timed(name)
+        if kg_pending:
+            kg_times.append(kg_rep())
+    load_1m.append(round(os.getloadavg()[0], 1))
 
     timings = {name: min(per_rep[name]) for name in HEADLINE}
     kg_sec = min(kg_times)
@@ -144,7 +181,8 @@ def main() -> None:
                 "kg_triples": n_triples,
                 "kg_triples_per_sec": round(n_triples / kg_sec, 1),
                 "cpus": CPUS,
-                "rep_schedule": "round_robin_all_queries",
+                "rep_schedule": "round_robin_all_queries+adaptive_until_min_confirmed",
+                "adaptive_extra_rounds": extra_rounds,
                 "per_rep_sec": per_rep,
                 "kg_reps_sec": [round(t, 3) for t in kg_times],
                 "loadavg_1m_per_round": load_1m,

@@ -125,7 +125,9 @@ _HEADLINE_BOUNDS = {
     "win_deltas": (2, 0, 0),
     "sort_argmax": (2, 0, 0),
     "text_stats": (1, 0, 0),
-    "dedup_ngram_jaccard": (6, 1, 0),
+    # round 5: hot add-back fused into the per-id rollup (no LeftOuter
+    # SMJ), shingles hashed to longs, both wide exchanges width-pinned
+    "dedup_ngram_jaccard": (5, 0, 0),
     "dedup_minhash_lsh": (7, 0, 0),
     "dedup_simhash": (2, 0, 0),
     "ann_cosine_topk": (2, 0, 1),
@@ -172,3 +174,73 @@ def test_segment_tokens_plan_shape(spark):
     assert "FlatMapGroupsInPandas" in plan
     for op in ("Join", "Cartesian", "SortMergeJoin", "BroadcastHashJoin"):
         assert op not in plan, op
+
+
+def test_link_resolve_auto_strategy_regimes(spark, tmp_path):
+    """VERDICT r4 #2: the LINK dictionary join must pick its physical
+    strategy from the dictionary's size estimate, not a hardcoded hint.
+    Small regime -> broadcast hash join, no salt machinery; forced-large
+    regime (file-backed dict, 1-byte threshold) -> the salted path (key
+    spread over salt partitions, dim exploded). Driver-created local
+    frames have no Catalyst stats (Long.MaxValue sentinel) and are
+    treated as broadcast-sized BY CONSTRUCTION — they already sit in
+    driver memory; the at-scale inputs are always file-backed and carry
+    real file-size estimates."""
+    from theoremkb_spark.pipeline.link import _resolve
+    from theoremkb_spark.plancheck import plan_facts, plan_string
+
+    dico_local = spark.createDataFrame(
+        [("u1", "T1", "c1")], "url string, tag string, pdf_to_canon string"
+    )
+    dpath = str(tmp_path / "dico.parquet")
+    dico_local.write.parquet(dpath)
+    dico = spark.read.parquet(dpath)
+    facts = spark.createDataFrame(
+        [("u1", "T1", "x"), ("u1", "T2", "y")], "url string, tag string, other string"
+    )
+
+    for d in (dico, dico_local):  # file-backed small AND stats-unknown local
+        small = plan_string(_resolve(facts, d, "auto", salt=4))
+        assert "_salt" not in small
+        assert plan_facts(small)["broadcast_joins"] >= 1
+
+    large = plan_string(_resolve(facts, dico, "auto", salt=4, broadcast_max_bytes=1))
+    assert "_salt" in large
+
+    # both regimes resolve the same rows (the strategy is physical only)
+    a = sorted(map(tuple, _resolve(facts, dico, "broadcast", 4).collect()))
+    b = sorted(map(tuple, _resolve(facts, dico, "salted", 4).collect()))
+    assert a == b
+
+
+def test_fuzzy_link_auto_broadcast_regimes(spark, tmp_path):
+    """fuzzy_link_lsh auto-selects its bucket-join strategy from the
+    dictionary size estimate. Small regime: the banded dictionary is
+    broadcast (no exchange keyed on band/sig). Forced-large regime
+    (file-backed dict under a 1-byte threshold): the bucket join rides
+    a (band, sig) hash exchange instead — the shape that scales past
+    broadcast memory. Same rows either way."""
+    from theoremkb_spark.pipeline.link import fuzzy_link_lsh
+    from theoremkb_spark.plancheck import plan_string
+
+    m = spark.createDataFrame(
+        [(1, "lattice kernel meadow"), (2, "vortex plume quartz")],
+        "id long, key string",
+    )
+    dpath = str(tmp_path / "fuzzy_dico.parquet")
+    spark.createDataFrame(
+        [(10, "lattice kernel meadows"), (11, "unrelated text entirely")],
+        "id long, key string",
+    ).write.parquet(dpath)
+    d = spark.read.parquet(dpath)
+
+    small = plan_string(fuzzy_link_lsh(m, d))
+    assert not re.search(r"Exchange hashpartitioning\(band", small), small
+
+    rows_small = sorted(map(tuple, fuzzy_link_lsh(m, d).collect()))
+
+    large_df = fuzzy_link_lsh(m, d, broadcast_max_bytes=1)
+    large = plan_string(large_df)
+    assert re.search(r"Exchange hashpartitioning\(band", large), large
+    assert sorted(map(tuple, large_df.collect())) == rows_small
+    assert rows_small and rows_small[0][0] == 1 and rows_small[0][1] == 10

@@ -125,10 +125,30 @@ def test_multimodal_features(spark, docs):
     assert feats[0].features != feats[3].features
 
 
-def test_multimodal_decode_stub_gated():
-    with pytest.raises(NotImplementedError):
-        _decode_image(b"\x89PNG fake")
-    assert byte_histogram(b"") == [0.0] * 16
+def test_multimodal_decode_pil_branch_env_gated():
+    """Without PIL the non-BMP/PNG branch raises NotImplementedError;
+    with PIL it is the REAL decode path (open -> RGB -> uint8 ndarray) —
+    exercised here on a GIF (a format the native codecs don't cover)
+    whenever the library is installed."""
+    try:
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            _decode_image(b"GIF89a fake payload, not bmp or png")
+        assert byte_histogram(b"") == [0.0] * 16
+        return
+
+    import io
+
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="GIF")
+    got = _decode_image(buf.getvalue())
+    assert got.shape == (2, 3, 3) and got.dtype == np.uint8
+    # GIF is palettized: decode is exact for <=256 distinct colors
+    assert (got == px).all()
 
 
 def test_hot_shingle_cap_bounds_candidate_pairs(spark):
@@ -239,13 +259,37 @@ def test_resize_images_fixed_contract(spark):
     assert (out[1].width, out[1].height) == (8, 4)
 
 
-def test_video_decode_stub_gated():
+def test_video_decode_pyav_branch_env_gated():
+    """Without PyAV the video-frame branch raises NotImplementedError;
+    with it, a one-frame encoded stream decodes to an RGB ndarray."""
     import pytest as _pytest
 
     from theoremkb_spark.operators.multimodal import _decode_video_frame
 
-    with _pytest.raises(NotImplementedError):
-        _decode_video_frame(b"fake-mp4", 0)
+    try:
+        import av
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            _decode_video_frame(b"fake-mp4", 0)
+        return
+
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        stream = out.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 32, 32
+        frame = av.VideoFrame.from_ndarray(
+            np.full((32, 32, 3), 128, np.uint8), format="rgb24"
+        )
+        for pkt in stream.encode(frame):
+            out.mux(pkt)
+        for pkt in stream.encode():
+            out.mux(pkt)
+    got = _decode_video_frame(buf.getvalue(), 0)
+    assert got is not None and got.shape == (32, 32, 3)
 
 
 def test_ivf_topk_recall_on_clustered_vectors(spark, tmp_path):
@@ -309,6 +353,21 @@ def test_xxh64_twin_matches_spark(spark):
     for j in (0, 1, 7, 31):
         got = [r[0] for r in df.select(F.xxhash64(F.lit(j), F.col("s"))).collect()]
         assert got == [spark_xxhash64(j, s) for s in cases], f"seed-chain j={j}"
+
+    # LongType children (the round-5 hashed-shingle path): plain
+    # xxhash64(long) and the seed-chained xxhash64(j::int, long)
+    from theoremkb_spark.corpus.dedup_oracle import _xxh64_int, _xxh64_long
+
+    def signed(h):
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    longs = [0, 1, -1, 42, -(1 << 63), (1 << 63) - 1, 0x9E3779B185EBCA87 - (1 << 64)]
+    ldf = spark.createDataFrame([(v,) for v in longs], "v long")
+    got = [r[0] for r in ldf.select(F.xxhash64(F.col("v"))).collect()]
+    assert got == [signed(_xxh64_long(v, 42)) for v in longs]
+    for j in (0, 5):
+        got = [r[0] for r in ldf.select(F.xxhash64(F.lit(j), F.col("v"))).collect()]
+        assert got == [signed(_xxh64_long(v, _xxh64_int(j, 42))) for v in longs], j
 
 
 @pytest.fixture(scope="module")

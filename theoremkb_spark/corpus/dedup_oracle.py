@@ -67,6 +67,17 @@ def _xxh64_int(i: int, seed: int) -> int:
     return _fmix(h)
 
 
+def _xxh64_long(l: int, seed: int) -> int:
+    """XXH64 of an 8-byte long — Spark hashes LongType children this way
+    (one full 8-byte round: k = rotl(l*P2, 31)*P1; h ^= k;
+    h = rotl(h, 27)*P1 + P4; fmix)."""
+    h = (seed + _P5 + 8) & _M
+    k = _rotl((l & _M) * _P2 & _M, 31)
+    h ^= (k * _P1) & _M
+    h = ((_rotl(h, 27) * _P1) + _P4) & _M
+    return _fmix(h)
+
+
 def _xxh64_bytes(data: bytes, seed: int) -> int:
     n = len(data)
     off = 0
@@ -272,9 +283,18 @@ def fuzzy_link_expected(
     hcache: dict[str, list[int]] = {}
 
     def hashes(g: str) -> list[int]:
+        """Twin of the operator's two-step hashing (round 5): the
+        shingle string maps to a long via plain xxhash64(shingle)
+        (default seed 42), then each MinHash function is
+        xxhash64(CAST(j AS INT), <that long>) — the int literal chains
+        the seed, the hashed shingle takes the LongType path."""
         hv = hcache.get(g)
         if hv is None:
-            hv = [spark_xxhash64(j, g) for j in range(num_hashes)]
+            base = _xxh64_bytes(g.encode("utf-8"), 42)
+            hv = []
+            for j in range(num_hashes):
+                h = _xxh64_long(base, _xxh64_int(j, 42))
+                hv.append(h - (1 << 64) if h >= (1 << 63) else h)
             hcache[g] = hv
         return hv
 

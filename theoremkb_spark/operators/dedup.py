@@ -155,18 +155,27 @@ def ngram_jaccard_pairs(
     has not executed yet; concurrent or deferred-execution callers must
     pass their own ``cache_registry``.
 
-    Plan shape: ONE self-join over the capped shingles produces the
-    non-hot common counts directly (no materialized candidate list, no
-    re-join of the full shingle table — that variant measured 6.7x
-    slower). The document-frequency cap rides a count window OVER
-    ``shingle``: the window's exchange hash-partitions the shingle table
-    once, and the blocking filter, the hot slice, AND both sides of the
-    self-join all reuse that same partitioning — one wide exchange of
-    the shingle table total, measured ~2x faster than the groupBy-df +
-    broadcast-anti-join formulation (which shuffled the table for the
-    join anyway). The hot shingles' contribution to |A ∩ B| is then
-    added back with a join restricted to the already-found pairs against
-    the tiny hot slice, so the output is the exact full-set Jaccard."""
+    Plan shape (round-5 form, same oracle output, 4 exchanges — was 6):
+
+    * shingles are hashed to LONGS up front (8-byte shuffle keys; a
+      64-bit intra-document collision, ~n^2/2^65, is the same event
+      MinHash tolerates engine-wide);
+    * the shingle exchange is an explicit ``repartition(N, shingle)``
+      that the count window AND both self-join sides reuse from the
+      cache. REPARTITION_BY_NUM is deliberate: AQE's post-shuffle
+      coalesce folds the byte-tiny ENSURE_REQUIREMENTS exchange to ~1
+      partition and serializes the CPU-dense blocking join onto one
+      core (the same measured trap as segment_tokens — 1.2 s -> 0.4 s
+      here at bench scale with the pinned width);
+    * the hot add-back no longer exists as joins: the per-id table
+      carries ``sz`` AND the id's (tiny, usually empty) HOT-shingle
+      set, so the exact common count is ``c_blk + |hot_a ∩ hot_b|``
+      computed map-side on the pair table. The previous LeftOuter
+      sort-merge join re-shuffled every candidate pair even when zero
+      hot shingles exist — the measured common case. Per-id hot sets
+      are bounded by the number of distinct hot shingles (few, by the
+      cap's definition), so the carried arrays stay bytes-small at any
+      corpus size."""
     from pyspark.sql import Window
 
     global _last_caches
@@ -175,68 +184,68 @@ def ngram_jaccard_pairs(
     _last_caches = []
     reg = _last_caches if cache_registry is None else cache_registry
 
-    sh = shingles(df, id_col, text_col, n).cache()
-    reg.append(sh)
-    if max_doc_freq is None:
-        blk, sh_hot = sh, None
-    else:
-        # cache the WINDOWED table: it feeds four consumers (blk and hot,
-        # each on both sides of a self-join) — uncached, the count window
-        # and its shingle exchange recompute four times (the round-2 plan
-        # measured 11 distinct exchanges; cached it is one, and the
-        # cached partitioning is what every shingle-keyed consumer reuses)
-        with_df = sh.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        ).cache()
-        reg.append(with_df)
-        blk = with_df.filter(F.col("_df") <= max_doc_freq).select("id", "shingle")
-        sh_hot = with_df.filter(F.col("_df") > max_doc_freq).select("id", "shingle")
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sh = shingles(df, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("shingle")
+    ).repartition(npart, "shingle")
+    cap = F.lit(max_doc_freq) if max_doc_freq is not None else None
+    # cached: the windowed table feeds both self-join sides and the
+    # per-id rollup — and its PINNED shingle partitioning is what the
+    # blocking self-join reuses (no further exchange)
+    with_df = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).cache()
+    reg.append(with_df)
+    hot = F.lit(False) if cap is None else F.col("_df") > cap
+    blk = with_df.filter(~hot).select("id", "shingle")
+
+    # per-id: full set size + the id's hot shingles (empty array for
+    # most ids); consumed by both pair sides
+    per_id = with_df.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.collect_set(F.when(hot, F.col("shingle"))).alias("hotset"),
+    ).cache()
+    reg.append(per_id)
 
     a = blk.select(F.col("id").alias("id_a"), "shingle")
     b = blk.select(F.col("id").alias("id_b"), "shingle")
-    # cached: consumed by the hot add-back AND the final join — uncached,
-    # the entire blocking self-join would execute twice
-    common_blk = (
+    # explicit width on the pair exchange too: the downstream intersect/
+    # jaccard work is CPU-dense per row, and partial aggregation buys
+    # nothing here (pairs share ~1 shingle, so map-side combine barely
+    # reduces) — pinning beats AQE's byte-based coalesce for the same
+    # reason as the shingle exchange above
+    pairs = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(npart, "id_a", "id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c_blk"))
-        .cache()
     )
-    reg.append(common_blk)
 
-    if sh_hot is None:
-        common = common_blk.withColumnRenamed("c_blk", "common")
-    else:
-        ha = sh_hot.select(F.col("id").alias("id_a"), "shingle")
-        hb = sh_hot.select(F.col("id").alias("id_b"), "shingle")
-        common_hot = (
-            common_blk.select("id_a", "id_b")
-            .join(ha, "id_a")
-            .join(hb, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("c_hot"))
-        )
-        common = (
-            common_blk.join(common_hot, ["id_a", "id_b"], "left")
-            .select(
-                "id_a",
-                "id_b",
-                (F.col("c_blk") + F.coalesce(F.col("c_hot"), F.lit(0))).alias("common"),
-            )
-        )
-
-    # cached: the per-doc size table is joined on both pair sides —
-    # uncached, the groupBy (and its exchange) runs twice
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).cache()
-    reg.append(sizes)
+    common = F.col("c_blk") + F.size(
+        F.array_intersect(F.col("hot_a"), F.col("hot_b"))
+    )
     jac = (
-        F.col("common").cast("decimal(18,6)")
-        / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("decimal(18,6)")
+        common.cast("decimal(18,6)")
+        / (F.col("sz_a") + F.col("sz_b") - common).cast("decimal(18,6)")
     )
     return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        pairs.join(
+            per_id.select(
+                F.col("id").alias("id_a"),
+                F.col("sz").alias("sz_a"),
+                F.col("hotset").alias("hot_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            per_id.select(
+                F.col("id").alias("id_b"),
+                F.col("sz").alias("sz_b"),
+                F.col("hotset").alias("hot_b"),
+            ),
+            "id_b",
+        )
         .withColumn("jaccard", F.round(jac, 6).cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

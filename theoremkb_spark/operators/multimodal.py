@@ -5,11 +5,13 @@ metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so the heavy per-item work is amortized per batch and
 never crosses the driver.
 
-The decode libraries (PIL/ffmpeg/librosa) are NOT in this image, so the
-real decoders are import-gated stubs (NotImplementedError); the
-deterministic fallback featurizer (byte histogram) keeps the Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — real and
-testable, per the build brief.
+Decode is real on three levels: dependency-free BMP/PNG codecs (below,
+always available), a PIL branch for every other image format and a PyAV
+branch for video frames (both implemented, import-gated — the libraries
+are not in this image, so their pytests skip when absent), and the
+deterministic fallback featurizer (byte histogram) that keeps the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+testable with zero optional dependencies.
 """
 
 from __future__ import annotations
@@ -30,15 +32,24 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image(payload: bytes):  # pragma: no cover - env-gated
+def _decode_image(payload: bytes):
+    """Decode a non-BMP/PNG payload via PIL when the library is present
+    (the real path: open -> force RGB -> ndarray); without PIL the only
+    real decoders are the dependency-free BMP/PNG codecs below. Env-gated
+    pytest: tests/test_operators.py::test_decode_image_pil_fallback."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "non-BMP image decode requires PIL; not available in this "
-            "image — decode_bmp24 handles BMP natively"
+            "non-BMP/PNG image decode requires PIL; not available in this "
+            "image — decode_bmp24/decode_png handle BMP and PNG natively"
         ) from exc
-    raise NotImplementedError("real decode path: Image.open(BytesIO(payload))")
+    from io import BytesIO
+
+    import numpy as np
+
+    with Image.open(BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 
 # ---- real, dependency-free image codec (24-bit uncompressed BMP) --------
@@ -379,15 +390,31 @@ THUMB_SCHEMA = T.StructType(
 )
 
 
-def _decode_video_frame(payload: bytes, ts_ms: int):  # pragma: no cover - env-gated
+def _decode_video_frame(payload: bytes, ts_ms: int):
+    """Decode the video frame nearest ``ts_ms`` via PyAV when the ffmpeg
+    bindings are present (seek to the keyframe at/before the timestamp,
+    then decode forward to the first frame at >= ts_ms); without PyAV the
+    deterministic byte-slice stand-in in ``frame_sample`` is the tested
+    path. Returns an (h, w, 3) uint8 RGB array or None when the stream
+    ends before the timestamp."""
     try:
-        import av  # noqa: F401  (PyAV / ffmpeg bindings)
+        import av
     except ImportError as exc:
         raise NotImplementedError(
-            "video decode requires ffmpeg bindings; not in this image — "
-            "the deterministic byte-slice stand-in keeps the plumbing testable"
+            "video decode requires ffmpeg bindings (PyAV); not in this "
+            "image — the deterministic byte-slice stand-in keeps the "
+            "plumbing testable"
         ) from exc
-    raise NotImplementedError("real path: av.open(BytesIO(payload)).seek(ts_ms)")
+    from io import BytesIO
+
+    with av.open(BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        target = int(ts_ms / 1000 / stream.time_base)
+        container.seek(target, stream=stream, backward=True)
+        for frame in container.decode(stream):
+            if frame.pts is not None and frame.pts >= target:
+                return frame.to_ndarray(format="rgb24")
+    return None
 
 
 def frame_sample(

@@ -68,7 +68,7 @@ def build_triples(
     mentions: DataFrame,
     citations: DataFrame,
     dico: DataFrame,
-    join_strategy: str = "broadcast",
+    join_strategy: str = "auto",
 ) -> DataFrame:
     """citations: (url, tag) doc-wide citation anchors — from
     ``extract_spans`` (fused path) or ``paper_citations(tokens)``."""
@@ -152,7 +152,7 @@ def build_kg(
     entity_dict: DataFrame | None = None,
     n_partitions: int | None = None,
     labeler: str = "fused",
-    join_strategy: str = "broadcast",
+    join_strategy: str = "auto",
     dico: DataFrame | None = None,
     model_file: str | None = None,
     cache_registry: list[DataFrame] | None = None,
@@ -269,6 +269,20 @@ def build_kg(
             stages_out.update(
                 tokens=tokens, spans=spans, mentions=mentions, citations=citations
             )
+    if join_strategy == "auto":
+        # decide ONCE here, from the RAW dictionary input: the
+        # canonicalized dico's own plan runs through the CC joins, whose
+        # Catalyst stats multiply into a useless overestimate, while
+        # canonicalization only ever SHRINKS the dictionary — so the
+        # pre-canon size is the conservative-correct broadcast basis
+        from .link import BROADCAST_DICT_MAX_BYTES, _fits_broadcast
+
+        basis = entity_dict if entity_dict is not None else dico
+        join_strategy = (
+            "broadcast"
+            if _fits_broadcast(basis, BROADCAST_DICT_MAX_BYTES)
+            else "salted"
+        )
     if dico is None:
         # the dictionary is broadcast-sized and consumed by two joins —
         # cache it so the CC canonicalization runs once

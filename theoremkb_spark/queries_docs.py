@@ -494,7 +494,15 @@ def q_link_fuzzy_lsh(spark, sf):
     )
     from .pipeline.link import fuzzy_link_lsh
 
-    d = _t(spark, sf, "documents")
+    # small-file scan artifact (same as q_dedup_ngram_jaccard): the
+    # sf-scale documents table is ~2 parquet splits, so the CPU-heavy
+    # whole-text regexp_replace + shingle explode + 24-hash partial agg
+    # would run map-side on 2 cores. Spreading the raw rows first costs
+    # one ~50 MB round-robin exchange; at cluster scale the scan yields
+    # enough byte-bounded splits and this becomes a no-op to drop.
+    d = _t(spark, sf, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     key = F.lower(
         F.substring(
             F.regexp_replace(F.col("text"), "[^A-Za-z ]", ""), 1, LINK_DICT_PREFIX

@@ -29,6 +29,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep parallelismFirst effective on CPU-dense small-byte stages:
+        # the default 1 MB minPartitionSize floor coalesces a ~3 MB
+        # post-agg exchange to 2-3 partitions and serializes everything
+        # downstream of it (band-join verify, jaccard, window) onto 2-3
+        # cores. 64 KB keeps tiny stages at full width while still
+        # folding genuinely empty partitions; at cluster scale the
+        # advisory target (64 MB) governs big exchanges exactly as before.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
