@@ -305,21 +305,65 @@ def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stages 1-2: extraction + window-function sequence labeling.
-    Oracle: the sequential labeler-semantics span rows (parquet)."""
+    """Stages 1-2 + the parent-class constraint: extraction,
+    window-function sequence labeling, then the 8-label segmenter's
+    semi-join (results valid only in segmentation {body, annex} — the
+    P4 wiring). Oracle: the sequential labeler + GOLD-segmentation span
+    rows (parquet) — dropping the constraint resurrects the front-matter
+    lookalike spans and fails the hash."""
     from pyspark.sql import functions as F
 
     from theoremkb_spark.pipeline.extract import extract_tokens, load_pages
     from theoremkb_spark.pipeline.label import label_tokens
+    from theoremkb_spark.pipeline.segment import apply_parent_constraint
 
     pages = load_pages(spark, _KG_N_DOCS)
-    labeled = label_tokens(extract_tokens(pages))
+    tokens = extract_tokens(pages)
+    labeled = apply_parent_constraint(label_tokens(tokens), tokens)
     return (
         labeled.filter(F.col("label") != "O")
         .groupBy("url", "group", "label")
         .agg(F.count(F.lit(1)).alias("n_tokens"))
         .orderBy("url", "group")
     )
+
+
+def _link_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-layer title linking over PIPELINE-EXTRACTED titles (J6,
+    reference get_links.py:74-85,122-133 + _refresh_title
+    paper/__init__.py:305-317): the 8-label segmenter finds each
+    document's front-segment title block, its normalized text joins the
+    citation dictionary's titles, and every match resolves the citation
+    to the target document's url. Oracle: the identical join in DuckDB
+    over GOLD titles (generator truth) + the same dictionary parquet —
+    a wrong segmenter or wrong title assembly fails the hash."""
+    from pyspark.sql import functions as F
+
+    from theoremkb_spark.pipeline.segment import extract_titles, norm_title
+
+    paths = _ensure_kg_oracle()
+    tokens = spark.read.parquet(paths["tokens"])
+    titles = extract_titles(tokens).withColumn("nt", norm_title(F.col("title")))
+    dico = spark.read.parquet(paths["dict"]).select(
+        "url", "tag", F.col("norm_title").alias("nt")
+    )
+    return (
+        dico.join(titles.select(F.col("url").alias("target"), "nt"), "nt")
+        .select("url", "tag", "target")
+        .orderBy("url", "tag")
+    )
+
+
+def _sql_link_title(titles_path: str, dict_path: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT url AS target, regexp_replace(lower(title), '[^a-z]', '', 'g') AS nt
+  FROM '{titles_path}'
+)
+SELECT d.url, d.tag, t.target
+FROM '{dict_path}' d JOIN t ON d.norm_title = t.nt
+ORDER BY url, tag
+"""
 
 
 _IVF_QUERY_IDS = list(range(10))
@@ -525,6 +569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_token_features"] = _kg_token_features
     out["kg_pagerank"] = _kg_pagerank
     out["kg_cocitation"] = _kg_cocitation
+    # round 5: the title-link gate now exercises the PIPELINE-extracted
+    # titles (segmenter + header layer) instead of the raw doc-table
+    # prefix variant in queries_docs (kept there as the J6 demo)
+    out["link_title_match"] = _link_title_match
     for name in (
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -568,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT node, rank FROM '{paths['pagerank']}' ORDER BY node"
     )
     out["kg_cocitation"] = _sql_cocitation(paths["triples"])
+    out["link_title_match"] = _sql_link_title(paths["titles"], paths["dict"])
     dpaths = _ensure_dedup_oracle(None)  # never clobber the run's fixtures
     out["dedup_minhash_lsh"] = (
         f"SELECT id_a, id_b, jaccard FROM '{dpaths['minhash']}' ORDER BY id_a, id_b"

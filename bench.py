@@ -85,7 +85,9 @@ def main() -> None:
     from theoremkb_spark.pipeline.extract import write_pages_parquet
     from theoremkb_spark.pipeline.runner import build_kg, load_dico, release_caches
 
-    pages_path = f"/tmp/bench_pages_{KG_DOCS}.parquet"
+    from theoremkb_spark.corpus.generator import CORPUS_VERSION
+
+    pages_path = f"/tmp/bench_pages_v{CORPUS_VERSION}_{KG_DOCS}.parquet"
     if not os.path.exists(pages_path):
         write_pages_parquet(pages_path, KG_DOCS, jobs=min(CPUS, 16))
     pages = spark.read.parquet(pages_path)

@@ -72,7 +72,8 @@ def main() -> None:
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
-    corpus = f"/tmp/pages_{args.docs}.parquet"
+    from theoremkb_spark.corpus.generator import CORPUS_VERSION
+    corpus = f"/tmp/pages_v{CORPUS_VERSION}_{args.docs}.parquet"
     if not os.path.exists(corpus):
         run([sys.executable, "scripts/make_corpus.py", "--docs", str(args.docs),
              "--out", corpus, "--jobs", "24"])

@@ -46,7 +46,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark, args.cpus)
 
-    pages_path = f"/tmp/bench_pages_{args.docs}.parquet"
+    from theoremkb_spark.corpus.generator import CORPUS_VERSION
+    pages_path = f"/tmp/bench_pages_v{CORPUS_VERSION}_{args.docs}.parquet"
     if not os.path.exists(pages_path):
         write_pages_parquet(pages_path, args.docs, jobs=min(args.cpus, 16))
     pages = spark.read.parquet(pages_path)

@@ -40,8 +40,11 @@ def test_real_docs_roundtrip_and_span_group_invariants(i):
     assert toks, "every generated doc has tokens"
     spans, tags = _doc_spans(doc.url, html)
     groups = [g for g, _, _, _ in spans]
-    # group ids are 1..n in order, labels from the vocabulary, text non-empty
-    assert groups == list(range(1, len(groups) + 1))
+    # group ids are strictly increasing positive ints; gaps are legal —
+    # a rejected open (front/acknowledgement lookalike under the parent
+    # constraint) still consumes its number (reference layer split)
+    assert all(g > 0 for g in groups)
+    assert groups == sorted(set(groups))
     assert all(text for _, _, text, _ in spans)
     assert all(own is None or own == own.lower() for _, _, _, own in spans)
 

@@ -268,7 +268,11 @@ def cnn_artifact(tmp_path_factory):
 
     from theoremkb_spark.ml.cnn1d import train_cnn1d
 
-    art = train_cnn1d(n_docs=20, max_epochs=300)
+    # n_docs=40 (same frame as the CRF gates): the v2 corpus's rarest
+    # class (assumption, weight 0.02) is absent from a 20-doc train
+    # slice, leaving its pattern id OOV at decode time — a vocabulary
+    # coverage artifact of the fixture, not a model property
+    art = train_cnn1d(n_docs=40, max_epochs=300)
     path = str(tmp_path_factory.mktemp("cnnart") / "cnn1d_model.pkl")
     with open(path, "wb") as f:
         pickle.dump(art, f)
@@ -386,9 +390,10 @@ def test_lstm_gradients_match_finite_differences():
             assert abs((lp - lm) / (2 * eps) - g.ravel()[i]) < 1e-6
 
 
-def test_lstm_final_state_ignores_padding():
-    """keras mask_zero semantics: trailing PADs must not change the
-    classifier's logits — the final state is the last real timestep's."""
+def test_lstm_readout_ignores_padding():
+    """keras mask_zero semantics under the mean-pool readout: trailing
+    PADs contribute nothing — the logits equal a manually-rolled forward
+    over ONLY the real timesteps, mean-pooled over those steps."""
     from theoremkb_spark.ml.lstm import LSTMClassifier
     from theoremkb_spark.ml.textformer import MAXLEN
 
@@ -399,9 +404,10 @@ def test_lstm_final_state_ignores_padding():
     # same tokens, but the sequence "ends" earlier vs later is identical
     # because the remaining positions are PAD either way; compare against
     # a manually-rolled forward that stops at the last real token
-    _m, _X, _steps, h_fin, logits = m._forward(short)
+    _m, _X, _steps, (hbar, lens), logits = m._forward(short)
     h = np.zeros((1, 3))
     c = np.zeros((1, 3))
+    hs = []
     H = 3
     for t in range(3):
         x = m.Emb[short[:, t]]
@@ -412,8 +418,11 @@ def test_lstm_final_state_ignores_padding():
         o = 1 / (1 + np.exp(-z[:, 3 * H :]))
         c = f * c + i * g
         h = o * np.tanh(c)
-    assert np.allclose(h_fin, h)
-    assert np.allclose(logits, h @ m.Wo + m.bo)
+        hs.append(h)
+    want = np.mean(hs, axis=0)
+    assert lens[0, 0] == 3
+    assert np.allclose(hbar, want)
+    assert np.allclose(logits, want @ m.Wo + m.bo)
 
 
 def test_lstm_line_classification_heldout():

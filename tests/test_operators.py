@@ -90,12 +90,17 @@ def test_span_pr_report_perfect_on_pipeline_paths(spark):
     from theoremkb_spark.pipeline.mentions import assemble_spans, resolve_span_names
     from pyspark.sql import functions as F
 
+    from theoremkb_spark.pipeline.segment import apply_parent_constraint
+
     pages = load_pages(spark, 20)
     fused = extract_spans(pages).filter(F.col("kind") == "span").select(
         "url", "group", "label", "own_name"
     )
+    # same wiring as build_kg's token path: the fused pass applies the
+    # parent constraint in-stream, so the window side gets the semi-join
+    tokens = extract_tokens(pages)
     window = resolve_span_names(
-        assemble_spans(label_tokens(extract_tokens(pages)))
+        assemble_spans(apply_parent_constraint(label_tokens(tokens), tokens))
     ).select("url", "group", "label", "own_name")
     rep = {r.label: r for r in span_pr_report(fused, window).collect()}
     assert rep["__micro__"].f1 == 1.0

@@ -137,12 +137,15 @@ def test_triple_groups_match_sequential_oracle(spark, pages, entity_dict):
 
 def test_span_rows_match_sequential_oracle(spark, pages):
     """Span-level (url, group, label, n_tokens) parity vs the sequential
-    labeler-semantics oracle — the surface behind the kg_spans gate."""
+    labeler-semantics + GOLD-segmentation oracle — the surface behind
+    the kg_spans gate (label layer, then the parent-class constraint)."""
     from pyspark.sql import functions as F
 
     from theoremkb_spark.corpus.oracle import oracle_doc_spans
+    from theoremkb_spark.pipeline.segment import apply_parent_constraint
 
-    labeled = label_tokens(extract_tokens(pages))
+    tokens = extract_tokens(pages)
+    labeled = apply_parent_constraint(label_tokens(tokens), tokens)
     got = {
         (r.url, r.group, r.label, r.n_tokens)
         for r in labeled.filter(F.col("label") != "O")

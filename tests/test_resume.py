@@ -301,5 +301,25 @@ def test_iceberg_adapter_gating_and_factory(spark, tmp_path):
     assert run_incremental(spark, pages, ents, store) == -1
 
     if not iceberg_available(spark):
+        # recorded probe (BENCH/ICEBERG_PROBE_r05.md): the runtime jar
+        # cannot exist in this image (none shipped, no network, no
+        # package manager) — the emulation above is the engine of record
         with pytest.raises(NotImplementedError):
             IcebergTripleStore(spark, "demo.db.kg")
+        return
+
+    # REAL integration path — runs on any classpath carrying
+    # iceberg-spark-runtime (e.g. --packages org.apache.iceberg:...):
+    # the native store drives the same incremental loop end-to-end
+    # (append, resume anti-join, time travel, upsert) through Iceberg SQL
+    ice = IcebergTripleStore(spark, "demo.db.kg_it")
+    assert run_incremental(spark, pages, ents, ice) == 0
+    assert run_incremental(spark, pages, ents, ice) == -1  # resume no-op
+    n0 = ice.read_triples(spark).count()
+    assert n0 > 0
+    first = ice.read_triples(spark, as_of_batch=0).count()
+    assert first == n0  # time travel to the first snapshot
+    more = load_pages(spark, 8)
+    assert run_incremental(spark, more, load_entity_dict(spark, 8), ice) == 1
+    assert ice.read_triples(spark).count() >= n0
+    assert ice.read_triples(spark, as_of_batch=0).count() == first

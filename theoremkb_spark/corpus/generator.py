@@ -68,6 +68,13 @@ FONTS = (
 N_EXTERNALS = 40
 HOT_EXTERNAL = 0  # EXT0 is cited by ~30% of docs (skew target)
 
+# bump when generator output changes for a fixed (n_docs, seed):
+# derived on-disk fixtures (bench corpora, scale dirs) key their paths
+# on this so a stale cache from an older corpus can never be reused.
+# v2 (round 5): front/annex/acknowledgement/bibliography structures +
+# fixed-y marginals + full-title internal dictionary entries.
+CORPUS_VERSION = 2
+
 EPOCH = datetime(2024, 5, 1, 0, 0, 0)
 
 # Page geometry. Since round 4 the layout carries the two visual cues a
@@ -87,6 +94,13 @@ BLOCK_GAP = 11.5  # one blank line of leading before each same-page block
 FIRST_LINE_INDENT = 18.0  # body blocks only; the title stays flush
 PAGE_TOP = 72.0
 LEFT_MARGIN = 56.0
+# marginal-zone y positions (round 5): above the flow's top margin /
+# below its nominal bottom (PAGE_TOP + 30 lines = 417). Marginal blocks
+# render here WITHOUT advancing the flow cursor, so body geometry is
+# unchanged by their presence.
+HEADNOTE_Y = 28.0
+FOOTNOTE_Y = 424.0
+PAGENUM_Y = 435.5
 
 
 @dataclass
@@ -98,8 +112,18 @@ class Token:
 
 @dataclass
 class Block:
-    kind: str  # "title" | "para" | one of the result labels
+    kind: str  # "title" | "para" | "heading" | "bib" | ... | result labels
     lines: list[list[Token]] = field(default_factory=list)
+    # GOLD segmentation label (reference SegmentationAnnotationClass
+    # vocabulary, classes/__init__.py:73-83): acknowledgement | front |
+    # headnote | footnote | body | bibliography | page | annex. The
+    # pipeline must RECOVER this from observable structure; the oracle
+    # consumes it directly as ground truth.
+    seg: str = "body"
+    # marginal blocks (headnote / footnote / page number) render at a
+    # fixed per-page y and do NOT advance the flow cursor or the line
+    # counter — they sit outside the body flow like a real page margin
+    fixed_y: float | None = None
 
 
 @dataclass
@@ -133,6 +157,13 @@ def _title_words(i: int) -> list[str]:
     """Letters-only unique title core for doc i (norm_title-collision-free)."""
     v = len(VOCAB)
     return [VOCAB[(i // (v * v)) % v], VOCAB[(i // v) % v], VOCAB[i % v]]
+
+
+def doc_title(i: int) -> str:
+    """The full (lowercase) title of doc i — shared by the title block,
+    the running headnote, and the entity dictionary's internal-paper
+    rows, so title-based linking has an exact normalized key."""
+    return " ".join(["on", "the"] + _title_words(i) + ["problem"])
 
 
 def doc_url(i: int) -> str:
@@ -186,7 +217,109 @@ def _cite_phrase(rng: random.Random, tags: list[str], with_result: bool):
     return [Token("see"), anchor]
 
 
-def build_doc(i: int, seed: int = 42, cite_tags: list[str] | None = None) -> Doc:
+def _statement_block(
+    rng, kind: str, num: str, kw_title: dict, own_results, cite_tags, seg: str
+) -> Block:
+    """One styled result-statement block (bold keyword head + body with
+    optional intra-ref / cite phrases)."""
+    head = [Token(kw_title[kind], "f1"), Token(num + ".", "f1")]
+    body = _words(rng, rng.randint(10, 35))
+    if own_results and rng.random() < 0.5:
+        pos = rng.randint(0, len(body))
+        body[pos:pos] = _ref_phrase(rng, own_results, kw_title)
+    if cite_tags and rng.random() < 0.25:
+        pos = rng.randint(0, len(body))
+        body[pos:pos] = _cite_phrase(rng, cite_tags, with_result=True)
+    return Block(kind, _to_lines(head + body), seg=seg)
+
+
+def _proof_block(rng, kind, num, kw_title, own_results, cite_tags, seg: str) -> Block:
+    explicit = rng.random() < 0.4
+    phead = (
+        [
+            Token("Proof", "f2"),
+            Token("of", "f2"),
+            Token(kw_title[kind], "f2"),
+            Token(num + ".", "f2"),
+        ]
+        if explicit
+        else [Token("Proof.", "f2")]
+    )
+    pbody = _words(rng, rng.randint(15, 50))
+    if own_results and rng.random() < 0.5:
+        pos = rng.randint(0, len(pbody))
+        pbody[pos:pos] = _ref_phrase(rng, own_results, kw_title)
+    if cite_tags and rng.random() < 0.15:
+        pos = rng.randint(0, len(pbody))
+        pbody[pos:pos] = _cite_phrase(rng, cite_tags, with_result=True)
+    return Block("proof", _to_lines(phead + pbody + [Token("QED")]), seg=seg)
+
+
+def _with_marginals(i: int, seed: int, blocks: list[Block], title: str) -> list[Block]:
+    """Insert per-page marginal blocks (page number every page, running
+    headnote on pages >= 1, an occasional dagger footnote) at each page
+    START in reading order. Marginals carry ``fixed_y`` and zero flow
+    lines, so the body pagination this simulation replays is untouched
+    by the insertion itself."""
+    rng = random.Random(f"{seed}/marginals/{i}")
+    head_toks = [Token(w.capitalize()) for w in title.split()]
+    out: list[Block] = []
+    line_no = 0
+    cur_page = -1
+    for b in blocks:
+        page = line_no // LINES_PER_PAGE
+        if page != cur_page:
+            cur_page = page
+            out.append(
+                Block("page", [[Token(str(page + 1))]], seg="page", fixed_y=PAGENUM_Y)
+            )
+            if page >= 1:
+                out.append(
+                    Block("headnote", [list(head_toks)], seg="headnote",
+                          fixed_y=HEADNOTE_Y)
+                )
+            if rng.random() < 0.2:
+                out.append(
+                    Block(
+                        "footnote",
+                        [[Token("†")] + _words(rng, rng.randint(4, 9))],
+                        seg="footnote",
+                        fixed_y=FOOTNOTE_Y,
+                    )
+                )
+        out.append(b)
+        line_no += len(b.lines)
+    return out
+
+
+def build_doc(
+    i: int,
+    seed: int = 42,
+    cite_tags: list[str] | None = None,
+    cite_entries: list[tuple[str, str | None]] | None = None,
+) -> Doc:
+    """One synthetic scholarly page, laid out in the reference's
+    segmentation vocabulary (classes/__init__.py:73-83):
+
+    * front — title, author line, bold-headed abstract; ~15% of docs
+      carry a RESULT-LOOKALIKE in the abstract (bold "Theorem 9.9.")
+      that the naive labeler would match — the parent-class constraint
+      (results valid only in segmentation in {body, annex},
+      classes/__init__.py:135) must reject it;
+    * body — numbered bold section headings + the prose/statement/proof
+      flow;
+    * annex — ~30% of docs: an "Appendix." heading followed by a real
+      theorem (+ proof) that the constraint must KEEP;
+    * acknowledgement — ~50%: heading + a short paragraph (~10% with a
+      second lookalike, "Theorem 9.8.");
+    * bibliography — a "References." heading + one cite-anchored entry
+      per citation target (the GROBID-shaped source of paper-level
+      citation completeness);
+    * headnote / footnote / page — fixed-y marginals via _with_marginals.
+
+    ``cite_entries`` carries (tag, title|None) for the bibliography;
+    ``cite_tags`` alone (legacy callers) yields title-less entries.
+    """
     rng = random.Random(f"{seed}/doc/{i}")
     url = doc_url(i)
     lang = "en" if rng.random() >= 0.05 else rng.choice(["fr", "de"])
@@ -194,16 +327,57 @@ def build_doc(i: int, seed: int = 42, cite_tags: list[str] | None = None) -> Doc
     kw_title = {k: t for k, t, _ in STATEMENT_KINDS}
     kinds, weights = zip(*[(k, w) for k, _, w in STATEMENT_KINDS])
 
-    title_core = _title_words(i)
-    title = " ".join(["on", "the"] + title_core + ["problem"])
-    blocks: list[Block] = [Block("title", [[Token(w.capitalize(), "f1") for w in title.split()]])]
+    title = doc_title(i)
+    if cite_entries is None:
+        cite_entries = [(t, None) for t in (cite_tags or [])]
+    cite_tags = [t for t, _ in cite_entries]
 
-    cite_tags = cite_tags or []
+    # ---- front matter -----------------------------------------------------
+    blocks: list[Block] = [
+        Block("title", [[Token(w.capitalize(), "f1") for w in title.split()]],
+              seg="front"),
+        Block(
+            "author",
+            [[Token("By")]
+             + [Token(w.capitalize()) for w in (_word(rng), _word(rng))]
+             + [Token("and")]
+             + [Token(w.capitalize()) for w in (_word(rng), _word(rng))]],
+            seg="front",
+        ),
+        Block(
+            "abstract",
+            _to_lines([Token("Abstract.", "f1")] + _words(rng, rng.randint(15, 30))),
+            seg="front",
+        ),
+    ]
+    if rng.random() < 0.15:
+        # front-matter result lookalike: bold "Theorem 9.9." announcement
+        # in the abstract zone — numbered outside any body section so the
+        # unconstrained labeler emits a DISTINCT (wrong) entity
+        blocks.append(
+            Block(
+                "theorem",
+                _to_lines(
+                    [Token("Theorem", "f1"), Token("9.9.", "f1")]
+                    + _words(rng, rng.randint(8, 15))
+                ),
+                seg="front",
+            )
+        )
+
     n_sections = 3 if long_doc else rng.randint(1, 3)
     own_results: list[tuple[str, str]] = []  # (kind, num) in order of appearance
     para_scale = 30 if long_doc else 1
 
+    # ---- body -------------------------------------------------------------
     for sec in range(1, n_sections + 1):
+        blocks.append(
+            Block(
+                "heading",
+                [[Token(str(sec), "f1"), Token(_word(rng).capitalize(), "f1")]],
+                seg="body",
+            )
+        )
         counter = 0
         n_items = rng.randint(2, 4) * (3 if long_doc else 1)
         for _ in range(n_items):
@@ -217,50 +391,84 @@ def build_doc(i: int, seed: int = 42, cite_tags: list[str] | None = None) -> Doc
                     # hyphen-break normalization case: "fur- row"
                     pos = rng.randint(0, len(body))
                     body[pos:pos] = [Token("fur-"), Token("row")]
-                blocks.append(Block("para", _to_lines(body)))
+                blocks.append(Block("para", _to_lines(body), seg="body"))
 
             counter += 1
             kind = rng.choices(kinds, weights=weights, k=1)[0]
             num = f"{sec}.{counter}"
             unnamed = kind == "remark" and rng.random() < 0.25
-            head = (
-                [Token(kw_title[kind] + ".", "f1")]
-                if unnamed
-                else [Token(kw_title[kind], "f1"), Token(num + ".", "f1")]
-            )
-            body = _words(rng, rng.randint(10, 35))
-            if own_results and rng.random() < 0.5:
-                pos = rng.randint(0, len(body))
-                body[pos:pos] = _ref_phrase(rng, own_results, kw_title)
-            if cite_tags and rng.random() < 0.25:
-                pos = rng.randint(0, len(body))
-                body[pos:pos] = _cite_phrase(rng, cite_tags, with_result=True)
-            blocks.append(Block(kind, _to_lines(head + body)))
-            if not unnamed:
-                own_results.append((kind, num))
-
-                # maybe a proof block right after
-                if kind in ("theorem", "lemma", "proposition", "claim") and rng.random() < 0.65:
-                    explicit = rng.random() < 0.4
-                    phead = (
-                        [
-                            Token("Proof", "f2"),
-                            Token("of", "f2"),
-                            Token(kw_title[kind], "f2"),
-                            Token(num + ".", "f2"),
-                        ]
-                        if explicit
-                        else [Token("Proof.", "f2")]
+            if unnamed:
+                head = [Token(kw_title[kind] + ".", "f1")]
+                body = _words(rng, rng.randint(10, 35))
+                if own_results and rng.random() < 0.5:
+                    pos = rng.randint(0, len(body))
+                    body[pos:pos] = _ref_phrase(rng, own_results, kw_title)
+                if cite_tags and rng.random() < 0.25:
+                    pos = rng.randint(0, len(body))
+                    body[pos:pos] = _cite_phrase(rng, cite_tags, with_result=True)
+                blocks.append(Block(kind, _to_lines(head + body), seg="body"))
+            else:
+                blocks.append(
+                    _statement_block(
+                        rng, kind, num, kw_title, own_results, cite_tags, "body"
                     )
-                    pbody = _words(rng, rng.randint(15, 50))
-                    if own_results and rng.random() < 0.5:
-                        pos = rng.randint(0, len(pbody))
-                        pbody[pos:pos] = _ref_phrase(rng, own_results, kw_title)
-                    if cite_tags and rng.random() < 0.15:
-                        pos = rng.randint(0, len(pbody))
-                        pbody[pos:pos] = _cite_phrase(rng, cite_tags, with_result=True)
-                    blocks.append(Block("proof", _to_lines(phead + pbody + [Token("QED")])))
+                )
+                own_results.append((kind, num))
+                if kind in ("theorem", "lemma", "proposition", "claim") and rng.random() < 0.65:
+                    blocks.append(
+                        _proof_block(
+                            rng, kind, num, kw_title, own_results, cite_tags, "body"
+                        )
+                    )
 
+    # ---- annex (appendix): real results the constraint must KEEP ----------
+    if rng.random() < 0.30:
+        blocks.append(Block("heading", [[Token("Appendix.", "f1")]], seg="annex"))
+        sec = n_sections + 1
+        kind = rng.choice(("theorem", "lemma"))
+        num = f"{sec}.1"
+        blocks.append(
+            _statement_block(rng, kind, num, kw_title, own_results, cite_tags, "annex")
+        )
+        own_results.append((kind, num))
+        if rng.random() < 0.65:
+            blocks.append(
+                _proof_block(rng, kind, num, kw_title, own_results, cite_tags, "annex")
+            )
+
+    # ---- acknowledgement ----------------------------------------------------
+    if rng.random() < 0.50:
+        blocks.append(
+            Block("heading", [[Token("Acknowledgements.", "f1")]],
+                  seg="acknowledgement")
+        )
+        ack_body = _words(rng, rng.randint(10, 20))
+        blocks.append(Block("ack", _to_lines(ack_body), seg="acknowledgement"))
+        if rng.random() < 0.10:
+            # second lookalike zone: a styled statement inside the
+            # acknowledgements — also rejected by the parent constraint
+            blocks.append(
+                Block(
+                    "theorem",
+                    _to_lines(
+                        [Token("Theorem", "f1"), Token("9.8.", "f1")]
+                        + _words(rng, rng.randint(6, 12))
+                    ),
+                    seg="acknowledgement",
+                )
+            )
+
+    # ---- bibliography -------------------------------------------------------
+    if cite_entries:
+        blocks.append(Block("heading", [[Token("References.", "f1")]],
+                            seg="bibliography"))
+        for tag, btitle in cite_entries:
+            entry = [Token(f"[{tag}]", link="cite")] + [
+                Token(w.capitalize()) for w in (btitle or "unpublished").split()[:6]
+            ]
+            blocks.append(Block("bib", _to_lines(entry), seg="bibliography"))
+
+    blocks = _with_marginals(i, seed, blocks, title)
     return Doc(url=url, title=title, lang=lang, blocks=blocks, idx=i)
 
 
@@ -294,10 +502,11 @@ def render_html(doc: Doc) -> bytes:
         parts.append(f'<meta name="font" id="{fid}" family="{family}" size="{size}"/>\n')
     parts.append("</head><body>\n")
 
-    line_no = 0  # running line count; a block lands on the page of its first line
+    line_no = 0  # running FLOW line count; a block lands on the page of its first line
     cur_page = -1
     block_idx = 0
     y = PAGE_TOP  # per-page vertical cursor (advanced per line and per block gap)
+    first_flow = True  # first flow block of the page gets no leading gap
     for block in doc.blocks:
         page = line_no // LINES_PER_PAGE
         if page != cur_page:
@@ -306,14 +515,21 @@ def render_html(doc: Doc) -> bytes:
             parts.append(f'<section class="page" n="{page}">\n')
             cur_page = page
             y = PAGE_TOP
-        else:
-            y += BLOCK_GAP  # paragraph spacing between same-page blocks
+            first_flow = True
+        marginal = block.fixed_y is not None
+        if not marginal:
+            if first_flow:
+                first_flow = False
+            else:
+                y += BLOCK_GAP  # paragraph spacing between same-page flow blocks
         parts.append(f'<div class="block" n="{block_idx}">\n')
         for li, line in enumerate(block.lines):
-            vpos = y
+            vpos = block.fixed_y + li * LINE_PITCH if marginal else y
             parts.append('<p class="line">')
             hpos = LEFT_MARGIN + (
-                FIRST_LINE_INDENT if (li == 0 and block.kind != "title") else 0.0
+                FIRST_LINE_INDENT
+                if (li == 0 and block.kind != "title" and not marginal)
+                else 0.0
             )
             for tok in line:
                 width = round(5.2 * len(tok.text), 2)
@@ -323,8 +539,9 @@ def render_html(doc: Doc) -> bytes:
                 parts.append(f"<w {attrs}>{_html.escape(tok.text, quote=False)}</w>")
                 hpos = round(hpos + width + 3.1, 2)
             parts.append("</p>\n")
-            line_no += 1
-            y += LINE_PITCH
+            if not marginal:
+                line_no += 1
+                y += LINE_PITCH
         parts.append("</div>\n")
         block_idx += 1
     if cur_page >= 0:
@@ -349,7 +566,10 @@ def _doc_cite_targets(i: int, seed: int, exts, n_docs: int):
         elif n_docs > 1:
             j = rng.randint(0, n_docs - 1)
             if j != i:
-                targets.append((f"P{j}", doc_url(j), " ".join(_title_words(j))))
+                # internal papers carry their FULL title (doc_title), so
+                # pipeline-extracted titles and dictionary titles share
+                # one exact normalized key (header-linking, J6)
+                targets.append((f"P{j}", doc_url(j), doc_title(j)))
     if rng.random() < 0.02:  # unresolvable anchor: tag absent from the dict
         targets.append((f"GHOST{i}", None, None))
     # dedupe by tag, keep first
@@ -366,8 +586,8 @@ def build_corpus(n_docs: int, seed: int = 42):
     exts = externals(seed)
     for i in range(n_docs):
         targets = _doc_cite_targets(i, seed, exts, n_docs)
-        tags = [t for t, _, _ in targets]
-        yield build_doc(i, seed, cite_tags=tags), targets
+        entries = [(t, title) for t, _, title in targets]
+        yield build_doc(i, seed, cite_entries=entries), targets
 
 
 def pages_rows(n_docs: int, seed: int = 42):

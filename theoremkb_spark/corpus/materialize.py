@@ -67,8 +67,39 @@ def ensure_kg_oracle(
         }
     )
 
+    # gold titles (url, title) for English docs — the expected output of
+    # the pipeline's header-layer title extraction (capitalized token
+    # rendering, exactly what the title block carries on the page) — and
+    # the raw entity dictionary, so the title-link gate can be a plain
+    # DuckDB join over the two files
+    titles_tbl = pa.table(
+        {
+            "url": [d.url for d, _t in docs if d.lang == "en"],
+            "title": [
+                " ".join(w.capitalize() for w in d.title.split())
+                for d, _t in docs
+                if d.lang == "en"
+            ],
+        }
+    )
+    dict_rows = entity_dict_rows(n_docs, seed)
+    dict_tbl = pa.table(
+        {
+            "url": [r["url"] for r in dict_rows],
+            "tag": [r["tag"] for r in dict_rows],
+            "pdf_to": [r["pdf_to"] for r in dict_rows],
+            "title": [r["title"] for r in dict_rows],
+            "norm_title": [r["norm_title"] for r in dict_rows],
+        }
+    )
+
     out = {}
-    for name, tbl in (("triples", triples_tbl), ("spans", spans_tbl)):
+    for name, tbl in (
+        ("triples", triples_tbl),
+        ("spans", spans_tbl),
+        ("titles", titles_tbl),
+        ("dict", dict_tbl),
+    ):
         path = os.path.join(out_dir, f"oracle_{name}.parquet")
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)

@@ -34,11 +34,24 @@ BOLD_OR_ITALIC = {"f1", "f2"}
 RE_NUM_MARK = re.compile(r"(([a-z]\.)?\d+(\.\d+)*)")
 
 
+# The reference's parent-class constraint (classes/__init__.py:135,
+# get_box_validator paper/__init__.py:405-428): result boxes are valid
+# only inside segmentation in {body, annex}. The ORACLE consumes the
+# generator's GOLD per-block segmentation (Block.seg); the pipeline must
+# recover the segment from observable structure and reach the same set.
+RESULT_PARENT_SEGMENTS = {"body", "annex"}
+
+
 def detect_spans(doc: Doc) -> list[tuple[int, str, Block]]:
     """Naive rule-labeler semantics (naive_extractor.py:20-55): a span opens
     at a line whose first token's word-pattern is a result label in bold or
     italic; a block-initial line that does not open closes the current span.
-    Returns [(group, label, block)] — in this corpus a span is one block."""
+    Returns [(group, label, block)] — in this corpus a span is one block.
+
+    Parent constraint (round 5): every open still CONSUMES a group number
+    (the label layer numbers spans; the segmentation filter only drops
+    boxes, exactly the reference's layer split), but opens outside
+    {body, annex} emit nothing."""
     spans = []
     group = 0
     open_label = None
@@ -52,7 +65,8 @@ def detect_spans(doc: Doc) -> list[tuple[int, str, Block]]:
         if opened:
             group += 1
             open_label = get_pattern(first.text)
-            spans.append((group, open_label, block))
+            if block.seg in RESULT_PARENT_SEGMENTS:
+                spans.append((group, open_label, block))
         else:
             open_label = None  # block-initial line closes any open span
     return spans
@@ -163,14 +177,18 @@ def oracle_doc_spans(doc: Doc) -> list[tuple[int, str, int]]:
     group = 0
     state_open = False
     for block in doc.blocks:
+        allowed = block.seg in RESULT_PARENT_SEGMENTS
         for li, line in enumerate(block.lines):
             for wi, tok in enumerate(line):
                 if wi == 0:
                     opened = tok.font in BOLD_OR_ITALIC and get_pattern(tok.text) in RESULT_LABELS
                     if opened:
+                        # the label layer numbers EVERY open; the parent
+                        # constraint only suppresses the emitted span
                         group += 1
-                        out.append([group, get_pattern(tok.text), 0])
-                        state_open = True
+                        if allowed:
+                            out.append([group, get_pattern(tok.text), 0])
+                        state_open = allowed
                     elif li == 0:
                         state_open = False
                 if state_open:

@@ -33,8 +33,15 @@ from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime is actually on the JVM classpath.
+
+    Must go through ``Class.forName``: py4j resolves a missing class
+    path to a silent ``JavaPackage`` placeholder (truthy, no exception),
+    so the obvious ``spark._jvm.org.apache.iceberg.Table`` probe always
+    'succeeds' — the round-5 integration branch exposed that the old
+    check reported jars-present in a jarless image."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False

@@ -6,10 +6,19 @@ TF/torch stack exists in this image and the notebook is an offline
 experiment, not a pipeline stage.
 
 Faithful in kind, smaller in scale: token embedding -> single-layer
-LSTM with padding mask (PAD steps carry h/c through unchanged, so the
-final state is the last REAL timestep's — keras' mask_zero semantics)
--> dense softmax head on the final hidden state; Adam on cross-entropy.
-Exact backprop through time, gated by central finite differences.
+LSTM with padding mask (PAD steps carry h/c through unchanged — keras'
+mask_zero semantics) -> dense softmax head on the MASKED MEAN of the
+hidden states (the keras masked-GlobalAveragePooling1D readout); Adam
+on cross-entropy. Exact backprop through time, gated by central finite
+differences.
+
+Readout note (round 5): the original final-state readout measured 0.86
+held-out on the v2 corpus — the span head tokens ("Theorem 2.3.") are
+the ONLY informative positions and their signal must survive ~MAXLEN
+recurrence steps of pure-noise body words to reach a final-state head;
+train accuracy stayed 1.0 (memorized body embeddings), held-out
+collapsed. Mean pooling gives every timestep a direct gradient path to
+the classifier and restores >= 0.95 held-out under the same protocol.
 
 Shares the dataset, split protocol, and encoding with the transformer
 twin (ml/textformer.py): corpus span texts + capped filler as 'other',
@@ -58,6 +67,7 @@ class LSTMClassifier:
         h = np.zeros((B, H))
         c = np.zeros((B, H))
         steps = []
+        hsum = np.zeros((B, H))
         for t in range(L):
             m = mask[:, t][:, None]
             z = X[:, t] @ self.Wx + h @ self.Wh + self.b
@@ -72,8 +82,11 @@ class LSTMClassifier:
             c_new = m * c_full + (1.0 - m) * c
             steps.append((m, i, f, gg, o, c, h, tc))
             h, c = h_new, c_new
-        logits = h @ self.Wo + self.bo
-        return mask, X, steps, h, logits
+            hsum += h * m  # masked mean-pool accumulator
+        lens = np.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+        hbar = hsum / lens
+        logits = hbar @ self.Wo + self.bo
+        return mask, X, steps, (hbar, lens), logits
 
     def predict(self, ids: np.ndarray) -> np.ndarray:
         return np.argmax(self._forward(ids)[-1], axis=1)
@@ -81,7 +94,7 @@ class LSTMClassifier:
     def loss_grads(self, ids: np.ndarray, y: np.ndarray):
         B, L = ids.shape
         H = self.H
-        mask, X, steps, h_fin, logits = self._forward(ids)
+        mask, X, steps, (hbar, lens), logits = self._forward(ids)
         m_ = logits.max(axis=1, keepdims=True)
         e = np.exp(logits - m_)
         p = e / e.sum(axis=1, keepdims=True)
@@ -90,17 +103,21 @@ class LSTMClassifier:
         dlogits = p
         dlogits[np.arange(B), y] -= 1.0
         dlogits /= B
-        dWo = h_fin.T @ dlogits
+        dWo = hbar.T @ dlogits
         dbo = dlogits.sum(axis=0)
 
         dEmb = np.zeros_like(self.Emb)
         dWx = np.zeros_like(self.Wx)
         dWh = np.zeros_like(self.Wh)
         db = np.zeros_like(self.b)
-        dh = dlogits @ self.Wo.T  # grad wrt post-mask h of the last step
+        # mean-pool: every masked timestep's post-mask h feeds the head
+        # with weight m_t / len, PLUS the usual carry from step t+1
+        dhbar = dlogits @ self.Wo.T
+        dh = np.zeros((B, H))
         dc = np.zeros((B, H))
         for t in range(L - 1, -1, -1):
             m, i, f, gg, o, c_prev, h_prev, tc = steps[t]
+            dh = dh + dhbar * (m / lens)
             # post-mask state: s_t = m*s_full + (1-m)*s_{t-1}
             dh_full = dh * m
             dh_carry = dh * (1.0 - m)

@@ -246,6 +246,18 @@ def _doc_spans(url: str, html: bytes, labels=None):
     num_mark = _RE_NUM_MARK
     unescape = _html.unescape
     no_font = (None, None, None, None)
+    # Segmentation state (reference SegmentationAnnotationClass,
+    # classes/__init__.py:73-83): documents open in `front`; a bold
+    # block-initial marker flips the running segment (numbered heading ->
+    # body, Appendix -> annex, Acknowledgements -> acknowledgement,
+    # References -> bibliography). Result spans are valid ONLY in
+    # {body, annex} (parent constraint, classes/__init__.py:135 +
+    # get_box_validator paper/__init__.py:405-428); a rejected open
+    # still CONSUMES a group number — the label layer numbers spans, the
+    # constraint only drops boxes, exactly the reference's layer split.
+    segment = "front"
+    seg_markers = _SEG_MARKERS
+    result_segments = RESULT_PARENT_SEGMENTS
 
     # SINGLE-PASS scan instead of the nested page/block/line/word
     # findall hierarchy: one alternation regex walks the document once,
@@ -299,10 +311,19 @@ def _doc_spans(url: str, html: bytes, labels=None):
                 italic, _math, bold, _size = fonts.get(fid, no_font)
                 if bold or italic:
                     pat = get_pattern(text)
+                    if li == 0 and bold:
+                        marker = seg_markers.get(pat)
+                        if marker is None and pat and not pat.strip("@"):
+                            marker = "body"  # numbered section heading
+                        if marker is not None:
+                            segment = marker
                     if pat in labels:
                         group += 1
-                        spans.append([group, pat, []])
-                        state_open = True
+                        if segment in result_segments:
+                            spans.append([group, pat, []])
+                            state_open = True
+                        else:
+                            state_open = False
                     elif li == 0:
                         state_open = False
                 elif li == 0:
@@ -335,6 +356,16 @@ def _doc_spans(url: str, html: bytes, labels=None):
 
 
 _RE_NUM_MARK = re.compile(r"(([a-z]\.)?\d+(\.\d+)*)")
+
+# bold block-initial heading patterns -> segmentation label (the
+# structural twin of pipeline/segment.py::segment_blocks; gold truth is
+# the generator's Block.seg, consumed only by the oracle)
+_SEG_MARKERS = {
+    "appendix": "annex",
+    "acknowledgements": "acknowledgement",
+    "references": "bibliography",
+}
+RESULT_PARENT_SEGMENTS = frozenset({"body", "annex"})
 
 # the fused path's one-pass scanner: structural open/close markers plus
 # the word tag (negated character classes — attribute values and escaped
@@ -512,7 +543,7 @@ def _write_pages_part(task) -> None:
 
     for i in range(start, end):
         targets = _doc_cite_targets(i, seed, exts, n_docs)
-        doc = build_doc(i, seed, cite_tags=[t for t, _, _ in targets])
+        doc = build_doc(i, seed, cite_entries=[(t, title) for t, _, title in targets])
         buf.append(
             {
                 "url": doc.url,

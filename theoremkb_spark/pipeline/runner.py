@@ -260,6 +260,14 @@ def build_kg(
             if labeler == "window"
             else label_tokens_arrow(tokens, model_file=model_file)
         )
+        # parent-class constraint (P4 wiring): result spans are valid
+        # only in segmentation {body, annex} — semi-join the labeled
+        # span tokens against the 8-label segmenter's allowed blocks.
+        # The fused path applies the identical state machine inside its
+        # Arrow pass; both are gated to emit identical triples.
+        from .segment import apply_parent_constraint
+
+        labeled = apply_parent_constraint(labeled, tokens)
         spans = _cached(resolve_span_names(assemble_spans(labeled)))
         citations = paper_citations(tokens)
         # two consumers (intra + extra cite branches) — cache so the
