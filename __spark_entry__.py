@@ -43,11 +43,12 @@ def _ensure_kg_oracle() -> dict[str, str]:
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".kg_oracle")
     from theoremkb_spark.corpus.materialize import ensure_kg_oracle, ensure_token_table
 
-    from theoremkb_spark.corpus.materialize import ensure_pagerank_oracle
+    from theoremkb_spark.corpus.materialize import ensure_pagerank_oracle, ensure_tei_oracle
 
     paths = ensure_kg_oracle(out_dir, n_docs=_KG_N_DOCS)
     paths["tokens"] = ensure_token_table(out_dir, n_docs=_KG_N_DOCS)
     paths["pagerank"] = ensure_pagerank_oracle(out_dir, n_docs=_KG_N_DOCS)
+    paths.update(ensure_tei_oracle(out_dir, n_docs=_KG_N_DOCS))
     _KG_ORACLE_DIR = out_dir
     return paths
 
@@ -328,6 +329,22 @@ def _kg_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tei_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROBID TEI ingestion (S10, reference get_links.py:57-162): parse
+    the materialized (url, tei) fulltext table in one map-only Arrow
+    stage — bibliography index over xml:id-carrying biblStructs,
+    title[type=main] normalization, in-text bibr anchor tags — then
+    resolve every citation-dictionary row to (grobid_index, tags).
+    Oracle: an INDEPENDENT regex-based sequential twin
+    (corpus/materialize.py::_tei_regex_parse), materialized to parquet."""
+    from theoremkb_spark.pipeline.tei import tei_links
+
+    paths = _ensure_kg_oracle()
+    tei = spark.read.parquet(paths["tei"])
+    dico = spark.read.parquet(paths["dict"])
+    return tei_links(tei, dico).orderBy("url", "tag")
+
+
 def _link_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-layer title linking over PIPELINE-EXTRACTED titles (J6,
     reference get_links.py:74-85,122-133 + _refresh_title
@@ -560,8 +577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered HERE (not last) so a sweep that truncates or times out at
     # the tail still grades it — round 2's 51st-registered query was the
     # one row missing from CORRECTNESS_r02.json (the registry is now
-    # exactly 50 entries)
+    # exactly 51 entries; the round-5 addition, tei_links, is likewise
+    # registered early rather than appended at the tail)
     out["ann_ivf"] = _ann_ivf
+    out["tei_links"] = _tei_links
     _ensure_kg_oracle()
     out["kg_triples"] = _kg_triples
     out["kg_triples_crf"] = _kg_triples_crf
@@ -617,6 +636,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["kg_cocitation"] = _sql_cocitation(paths["triples"])
     out["link_title_match"] = _sql_link_title(paths["titles"], paths["dict"])
+    out["tei_links"] = (
+        f"SELECT url, tag, pdf_to, grobid_index, tags FROM '{paths['tei_links']}' "
+        "ORDER BY url, tag"
+    )
     dpaths = _ensure_dedup_oracle(None)  # never clobber the run's fixtures
     out["dedup_minhash_lsh"] = (
         f"SELECT id_a, id_b, jaccard FROM '{dpaths['minhash']}' ORDER BY id_a, id_b"

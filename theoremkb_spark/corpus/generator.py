@@ -626,3 +626,106 @@ def entity_dict_rows(n_docs: int, seed: int = 42):
                 }
             )
     return rows
+
+
+# --------------------------------------------------------------------------
+# GROBID-style TEI fulltext documents (S10 — reference
+# Styling/tools/references/get_links.py:15-102). The reference POSTs each
+# pdf to a GROBID server and consumes the TEI XML it returns; this corpus
+# synthesizes that TEI deterministically from the same citation targets,
+# with the structures (and hazards) the reference's parser navigates:
+#
+# * ``listBibl`` of ``biblStruct`` entries — only those carrying an
+#   ``xml:id`` count toward the bibliography index (get_links.py:70-72);
+#   a stray no-id entry is injected ~15% of docs;
+# * the matchable title is ``title[type="main"]`` only; ~30% of entries
+#   carry a preceding non-main journal title that must be skipped
+#   (get_links.py:74-78);
+# * 0-2 extra untracked entries per doc (cited works absent from the
+#   link dictionary) shift the indices of later entries;
+# * in-text ``ref[type="bibr"][target="#bN"]`` anchors, 1-3 per tracked
+#   entry in varied surface forms; figure refs and target-less bibr refs
+#   are skip-noise (get_links.py:87-96);
+# * ~5% of docs are truncated mid-bibliography — an unparseable GROBID
+#   response, the reference's GROBID_ERR branch (get_links.py:62-66).
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def render_tei(i: int, seed: int, n_docs: int) -> str:
+    rng = random.Random(f"{seed}/tei/{i}")
+    targets = _doc_cite_targets(i, seed, externals(seed), n_docs)
+    # (title, tracked) bibliography candidates: every citation target plus
+    # a few untracked works; ghosts carry a title the dictionary lacks
+    entries = []
+    for k, (tag, pdf_to, title) in enumerate(targets):
+        if title is None:
+            title = f"unarchived manuscript {i} {k}"
+        entries.append((title, pdf_to is not None))
+    for k in range(rng.randint(0, 2)):
+        w1, w2 = rng.choice(VOCAB), rng.choice(VOCAB)
+        entries.append((f"untracked study of {w1} {w2} {i} {k}", False))
+    rng.shuffle(entries)
+
+    bibl_xml, ref_pool = [], []
+    n_item = 0  # position among xml:id-carrying entries == the id number
+    for title, tracked in entries:
+        journal = ""
+        if rng.random() < 0.30:
+            journal = (
+                f'<title level="j">{_xml_escape(rng.choice(VOCAB).title())} '
+                f"Journal</title>"
+            )
+        main = f'<title level="a" type="main">{_xml_escape(title)}</title>'
+        if rng.random() < 0.15:  # stray no-id entry: parsed over, no index
+            bibl_xml.append(f"<biblStruct><analytic>{journal}{main}</analytic></biblStruct>")
+            continue
+        bibl_xml.append(
+            f'<biblStruct xml:id="b{n_item}"><analytic>{journal}{main}'
+            f"</analytic></biblStruct>"
+        )
+        if tracked and rng.random() < 0.85:
+            year = 2000 + rng.randint(0, 24)
+            variants = [
+                f"[{n_item + 1}]",
+                f"({rng.choice(VOCAB).title()} et al., {year})",
+                f"{rng.choice(VOCAB).title()} and {rng.choice(VOCAB).title()} ({year})",
+            ]
+            for v in rng.sample(variants, rng.randint(1, 3)):
+                ref_pool.append(
+                    f'<ref type="bibr" target="#b{n_item}">{_xml_escape(v)}</ref>'
+                )
+        n_item += 1
+
+    rng.shuffle(ref_pool)
+    # skip-noise anchors: a figure ref and a bibr ref with no target
+    ref_pool.insert(
+        rng.randint(0, len(ref_pool)) if ref_pool else 0,
+        '<ref type="figure" target="#fig_0">Figure 1</ref>',
+    )
+    ref_pool.append('<ref type="bibr">[99]</ref>')
+    sentences = []
+    for anchor in ref_pool:
+        lead = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(3, 8)))
+        sentences.append(f"<p>{_xml_escape(lead)} {anchor}.</p>")
+
+    tei = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0">'
+        "<teiHeader><fileDesc><titleStmt>"
+        f'<title level="a" type="main">{_xml_escape(doc_title(i))}</title>'
+        "</titleStmt></fileDesc></teiHeader>"
+        f'<text><body>{"".join(sentences)}</body>'
+        f'<back><div><listBibl>{"".join(bibl_xml)}</listBibl></div></back>'
+        "</text></TEI>"
+    )
+    if rng.random() < 0.05:  # truncated GROBID response: unparseable
+        return tei[: int(len(tei) * 0.6)]
+    return tei
+
+
+def tei_rows(n_docs: int, seed: int = 42):
+    """Rows of the TEI fulltext table (url, tei) — one per document."""
+    for i in range(n_docs):
+        yield {"url": doc_url(i), "tei": render_tei(i, seed, n_docs)}

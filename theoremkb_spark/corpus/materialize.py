@@ -221,3 +221,89 @@ def ensure_token_table(
     pq.write_table(tbl, tmp)
     os.replace(tmp, path)
     return path
+
+
+def _tei_regex_parse(tei: str):
+    """INDEPENDENT twin of pipeline/tei.py::parse_tei_doc — regex over
+    the serialized XML instead of an ElementTree walk, so the gate
+    compares two implementations of the get_links.py semantics rather
+    than one implementation with itself. A document that does not close
+    its root element is the unparseable/GROBID_ERR case."""
+    import html as _h
+    import re as _re
+
+    if not tei.rstrip().endswith("</TEI>"):
+        return [], {}
+    bibl, n_item = [], 0
+    for m in _re.finditer(r"<biblStruct\b([^>]*)>(.*?)</biblStruct>", tei, _re.S):
+        if 'xml:id="' not in m.group(1):
+            continue
+        tm = _re.search(
+            r'<title\b[^>]*type="main"[^>]*>(.*?)</title>', m.group(2), _re.S
+        )
+        raw = _h.unescape(tm.group(1)) if tm else ""
+        bibl.append((n_item, _re.sub(r"[^a-z]", "", raw.lower())))
+        n_item += 1
+    tags: dict[int, set] = {}
+    for m in _re.finditer(r"<ref\b([^>]*)>(.*?)</ref>", tei, _re.S):
+        if 'type="bibr"' not in m.group(1):
+            continue
+        t = _re.search(r'target="#b(\d+)"', m.group(1))
+        if not t:
+            continue
+        tags.setdefault(int(t.group(1)), set()).add(
+            _re.sub(r"\W", "", _h.unescape(m.group(2)))
+        )
+    return bibl, tags
+
+
+def ensure_tei_oracle(
+    out_dir: str, n_docs: int = N_DOCS_DEFAULT, seed: int = SEED_DEFAULT
+) -> dict[str, str]:
+    """Materialize the TEI fulltext table (the stage's input fixture)
+    and the regex twin's expected links (its DuckDB oracle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .generator import entity_dict_rows, tei_rows
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        "tei": os.path.join(out_dir, "tei.parquet"),
+        "tei_links": os.path.join(out_dir, "oracle_tei_links.parquet"),
+    }
+
+    rows = list(tei_rows(n_docs, seed))
+    tei_tbl = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "tei": pa.array([r["tei"] for r in rows], pa.string()),
+        }
+    )
+
+    parsed = {r["url"]: _tei_regex_parse(r["tei"]) for r in rows}
+    out: dict[str, list] = {k: [] for k in ("url", "tag", "pdf_to", "grobid_index", "tags")}
+    for r in entity_dict_rows(n_docs, seed):
+        bibl, tags = parsed[r["url"]]
+        idx = min((i for i, nt in bibl if nt == r["norm_title"]), default=-1)
+        ts = tags.get(idx) if idx >= 0 else None
+        out["url"].append(r["url"])
+        out["tag"].append(r["tag"])
+        out["pdf_to"].append(r["pdf_to"])
+        out["grobid_index"].append(idx)
+        out["tags"].append("-".join(sorted(ts)) if ts else None)
+    links_tbl = pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "tag": pa.array(out["tag"], pa.string()),
+            "pdf_to": pa.array(out["pdf_to"], pa.string()),
+            "grobid_index": pa.array(out["grobid_index"], pa.int32()),
+            "tags": pa.array(out["tags"], pa.string()),
+        }
+    )
+
+    for path, tbl in ((paths["tei"], tei_tbl), (paths["tei_links"], links_tbl)):
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return paths
