@@ -560,7 +560,7 @@ def _write_pages_part(task) -> None:
 
 
 def write_pages_parquet(
-    path: str, n_docs: int, seed: int = 42, chunk: int = 200, jobs: int = 1
+    path: str, n_docs: int, seed: int = 42, chunk: int = 100, jobs: int = 1
 ) -> None:
     """Write the synthetic corpus to parquet without Spark (pyarrow),
     chunked so large corpora never sit in memory at once. ``jobs > 1``

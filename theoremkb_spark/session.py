@@ -43,8 +43,18 @@ def get_spark(
         # keep giant documents from blowing a single Arrow batch
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # split fat html-bearing parquet files across tasks (default 128 MB
-        # would hand a whole small corpus to one scan task)
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # would hand a whole small corpus to one scan task). 4 MB, not 32:
+        # splits quantize to ROW GROUPS (a row group belongs to the split
+        # containing its start offset), so a 42 MB file of ~1.4 MB groups
+        # under 32 MB splits degenerates to a 13-vs-3-group task imbalance
+        # — the event-log fingerprint was a 12 s max task on a 5 s mean in
+        # the extraction stage, 40% of the local[4] wall. 4 MB splits carry
+        # 2-4 groups each, bounding per-task spread at ~2x with per-file
+        # task counts high enough to wash it out. A real cluster tunes
+        # this per deployment (128-512 MB targets with matching row-group
+        # sizing at write time); the corpus writers here emit ~1.4 MB
+        # groups (100 html docs) to match.
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # fork python workers from a daemon that has pandas/pyarrow
         # preloaded — worker churn otherwise costs ~1.5 s of import per
