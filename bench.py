@@ -144,6 +144,17 @@ def main() -> None:
     # attempted on any query that never settles, per the round-4 ask).
     MAX_REPS = 9
 
+    # Queries with a measured multi-execution warm-up slope: their big
+    # codegen stages only reach C2-compiled steady state after several
+    # invocations, so an early slow min can be "confirmed" by an equally
+    # cold neighbor rep and lock in a 1.5x-high reading. link_fuzzy_lsh
+    # reaches its quiet floor (~2.9 s) only around rep 4-5 in BOTH
+    # recorded round-5 windows (per-rep evidence in
+    # BENCH/bench_r05_sf0.1.json [4.23,6.18,12.53,2.99,2.85] and
+    # bench_r05_sf0.1_paired.json [4.44,6.04,4.32] — stopped too early);
+    # its min is not trusted until at least this many reps.
+    MIN_REPS = {"link_fuzzy_lsh": 6}
+
     def _settled(ts: list[float]) -> bool:
         lo = min(ts)
         return sum(1 for t in ts if t <= lo * 1.25) >= 2
@@ -152,7 +163,8 @@ def main() -> None:
     for _extra in range(MAX_REPS - n_rounds):
         pending = [
             n for n in HEADLINE
-            if not _settled(per_rep[n]) and len(per_rep[n]) < MAX_REPS
+            if (not _settled(per_rep[n]) or len(per_rep[n]) < MIN_REPS.get(n, 0))
+            and len(per_rep[n]) < MAX_REPS
         ]
         kg_pending = not _settled(kg_times) and len(kg_times) < MAX_REPS
         if not pending and not kg_pending:
