@@ -147,13 +147,17 @@ def main() -> None:
     # Queries with a measured multi-execution warm-up slope: their big
     # codegen stages only reach C2-compiled steady state after several
     # invocations, so an early slow min can be "confirmed" by an equally
-    # cold neighbor rep and lock in a 1.5x-high reading. link_fuzzy_lsh
-    # reaches its quiet floor (~2.9 s) only around rep 4-5 in BOTH
-    # recorded round-5 windows (per-rep evidence in
-    # BENCH/bench_r05_sf0.1.json [4.23,6.18,12.53,2.99,2.85] and
-    # bench_r05_sf0.1_paired.json [4.44,6.04,4.32] — stopped too early);
-    # its min is not trusted until at least this many reps.
-    MIN_REPS = {"link_fuzzy_lsh": 6}
+    # cold neighbor rep and lock in a 1.3-1.5x-high reading. All three
+    # heavy dedup/link queries show it in controlled 6-rep standalone
+    # runs (ngram [2.27,1.71,1.84,1.60,1.43,1.69] -> floor 1.43;
+    # minhash floor 2.08; link floor 2.08 — vs rep-3-confirmed harness
+    # minima of 2.49/3.37/4.32 across the round-5 windows); their min
+    # is not trusted until at least this many reps.
+    MIN_REPS = {
+        "dedup_ngram_jaccard": 6,
+        "dedup_minhash_lsh": 6,
+        "link_fuzzy_lsh": 6,
+    }
 
     def _settled(ts: list[float]) -> bool:
         lo = min(ts)
