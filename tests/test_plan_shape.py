@@ -129,7 +129,10 @@ _HEADLINE_BOUNDS = {
     # SMJ), shingles hashed to longs, both wide exchanges width-pinned
     "dedup_ngram_jaccard": (5, 0, 0),
     "dedup_minhash_lsh": (7, 0, 0),
-    "dedup_simhash": (2, 0, 0),
+    # round 6: +1 exchange — the doc_id-hash spread of the single-row-
+    # group documents scan, so the Arrow SimHash stage runs full-width
+    # instead of one python worker per parquet row group
+    "dedup_simhash": (3, 0, 0),
     "ann_cosine_topk": (2, 0, 1),
     "link_fuzzy_lsh": (3, 0, 0),
 }

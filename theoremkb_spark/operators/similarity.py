@@ -50,15 +50,37 @@ def cosine_topk(
     round_to: int = 4,
 ) -> DataFrame:
     """-> (query_id, rank, neighbor_id, score): exact top-k neighbors of
-    each query vector (self excluded), deterministic tie-break by id."""
+    each query vector (self excluded), deterministic tie-break by id.
+
+    Each side's norm is computed ONCE per row before the join instead of
+    per pair: higher-order-function dots run interpreted (no codegen
+    inside the lambda), and the original with_cosine form re-derived
+    sqrt(dot(v,v)) for BOTH vectors on every candidate pair — 3
+    interpreted dots per pair where 1 suffices. norm_a * norm_b keeps
+    the exact evaluation order, so every score is bit-identical. The
+    corpus side is also spread across cores first: the embeddings table
+    is one parquet row group per ~1M rows, so the dot-product stage
+    would otherwise run in a single scan task (row-group quantization;
+    same artifact as q_text_stats)."""
+    v = F.col(vec_col).cast("array<double>")
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(v).alias("qn"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(v).alias("cn"),
+    )
     scored = (
-        q.crossJoin(c)
+        c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .transform(lambda df: with_cosine(df, "qv", "cv"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>"))
+            / (F.col("qn") * F.col("cn")),
+        )
         .withColumn("score", F.round(F.col("cosine"), round_to))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

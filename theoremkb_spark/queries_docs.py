@@ -38,16 +38,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q_text_stats(spark, sf):
     """Token counting + punctuation + stopword hits + fingerprint +
     composite quality score (one pass over documents covers both the
-    stats and the quality-scoring operators — same key, same scan)."""
-    d = _t(spark, sf, "documents")
-    return d.select(
+    stats and the quality-scoring operators — same key, same scan).
+
+    Two optimizations, identical output (same formulas, bit-identical
+    values — see operators.textquality.text_stats_columns):
+
+    * the whitespace-normalized text (and its padded form) is projected
+      ONCE per row in an inner select; the original single projection
+      re-evaluated the \\s+ regexp_replace ~19x per row because codegen
+      subexpression elimination does not reach across the nested
+      when/least branches;
+    * the documents table arrives as ONE parquet row group per ~1M rows,
+      so the regex-dense projection would run in a single scan task (the
+      same small-file artifact q_dedup_ngram_jaccard documents:
+      row-group quantization caps scan parallelism no matter the split
+      size). A doc_id-hash exchange of the raw rows buys full-width
+      codegen without round-robin's sort-before-repartition; at cluster
+      scale the writer's row-group sizing makes this a no-op."""
+    from .operators.textquality import norm_ws, text_stats_columns
+
+    # ORDER BEFORE PROJECTING: a global orderBy placed after the heavy
+    # projection makes the range partitioner's sampling pass re-execute
+    # the entire projection (measured +2.4 s of the 5.2 s wall at 10x
+    # scale); sorting the raw (doc_id, text) rows first samples only the
+    # scan, the sort's range exchange is ALSO what spreads the
+    # single-row-group documents scan across cores, and the projection
+    # runs once, post-sort, at full width. Projections preserve
+    # intra-partition order and range partitions are in key order, so
+    # the collected output ordering is identical.
+    d = _t(spark, sf, "documents").select("doc_id", "text").orderBy("doc_id")
+    base = d.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        punct_count(F.col("text")).cast("long").alias("n_punct"),
-        stopword_hits(F.col("text")).alias("stop_hits"),
-        fingerprint(F.col("text")).alias("fp"),
-        quality_score(F.col("text")).alias("quality"),
-    ).orderBy("doc_id")
+        "text",
+        norm_ws(F.col("text")).alias("_norm"),
+    ).withColumn("_padded", F.concat(F.lit(" "), F.col("_norm"), F.lit(" ")))
+    cols = text_stats_columns(F.col("text"), F.col("_norm"), F.col("_padded"))
+    return base.select(
+        "doc_id", *[expr.alias(name) for name, expr in cols.items()]
+    )
 
 
 _OCC = "(length(' ' || {s} || ' ') - length(replace(' ' || {s} || ' ', ' {w} ', ''))) // length(' {w} ')"
@@ -211,7 +239,14 @@ def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs (md5-bit-vote Arrow kernel). Oracle: the
     sequential twin in corpus/dedup_oracle.py, materialized to parquet
     by __spark_entry__."""
-    d = _t(spark, sf, "documents")
+    # same single-row-group scan artifact as q_text_stats: without the
+    # spread, the whole Arrow SimHash stage runs in ONE python worker
+    # (row-group quantization, not split size, caps scan parallelism).
+    # doc_id-hash, not round-robin: unique ids spread evenly and skip
+    # round-robin's sort-before-repartition pass over the text column.
+    d = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     return simhash_near_dups(d, "doc_id", "text", max_hamming=8).orderBy(
         "id_a", "id_b"
     )
