@@ -676,3 +676,79 @@ def test_png_roundtrip_and_dispatch():
     )
     with pytest.raises(NotImplementedError):
         decode_png(gray)
+
+
+# ---------------------------------------------- round-6 optimization gates
+
+
+def test_capped_shingles_regimes(spark, docs, tmp_path):
+    """The hot-shingle cap auto-sizes its anti-join (round-5 verdict #1):
+    under the source-size threshold the hot set broadcasts (shingle
+    table never shuffles); past it the broadcast hint is dropped and the
+    planner shuffles both sides — nothing corpus-sized is ever collected.
+    Both regimes must produce identical surviving shingles. The source
+    must be FILE-backed: driver-local frames have unknowable stats and
+    deliberately count as small."""
+    from theoremkb_spark.operators.dedup import capped_shingles, shingles
+
+    src = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(src)
+    docs = spark.read.parquet(src)
+    sh = shingles(docs, "doc_id", "text", 3)
+    small = capped_shingles(sh, 2, source=docs, broadcast_max_source_bytes=1 << 40)
+    large = capped_shingles(sh, 2, source=docs, broadcast_max_source_bytes=-1)
+    # isolate OUR hint from the planner's own estimate-based broadcast
+    # (which may legitimately fire at test scale and is the safe runtime
+    # mechanism at 100x): with auto-broadcast off, only the forced-small
+    # regime's explicit hint may produce a broadcast join.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        plan_large = large._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Broadcast" in plan_small
+    assert "Broadcast" not in plan_large
+    rows_small = {(r.id, r.shingle) for r in small.collect()}
+    rows_large = {(r.id, r.shingle) for r in large.collect()}
+    assert rows_small == rows_large and rows_small
+
+
+def test_arrow_shingles_match_jvm_form(spark):
+    """The Arrow n-gram kernel is byte-identical to the JVM
+    transform/slice/concat_ws form it replaced — including Java's
+    ASCII-only \\s class (unicode whitespace must NOT be normalized),
+    short documents, and empty/null texts."""
+    rows = [
+        (0, "plain three word shingle text"),
+        (1, "two words"),
+        (2, "one"),
+        (3, ""),
+        (4, None),
+        (5, "tab\tand\nnewline  double  space"),
+        (6, "unicode nbsp stays glued together here"),
+        (7, " leading and trailing   "),
+        (8, "a a a a a"),  # repeated tokens -> distinct grams only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from theoremkb_spark.operators.dedup import shingles
+
+    arrow = {(r.id, r.shingle) for r in shingles(df, "doc_id", "text", 3).collect()}
+    words = df.select(
+        F.col("doc_id").alias("id"),
+        F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ").alias("_w"),
+    )
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(_w) - 2, 1)),"
+        " i -> concat_ws(' ', slice(_w, i, 3)))"
+    )
+    jvm = {
+        (r.id, r.shingle)
+        for r in words.select(
+            "id", F.explode(F.array_distinct(grams)).alias("shingle")
+        )
+        .filter(F.length("shingle") > 0)
+        .collect()
+    }
+    assert arrow == jvm

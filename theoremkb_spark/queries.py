@@ -54,10 +54,32 @@ def q_agg_pricing_summary(spark, sf):
     combines on the fine key first (orderkey groups are tiny) and never
     replays the row stream. Bit-identical output (decimal sums are
     associative); measurably faster here and the shape that survives
-    100x row counts."""
+    100x row counts.
+
+    Round-6 spread: the sf-scale lineitem table arrives as ONE parquet
+    row group, so the whole decimal-dense partial aggregation would run
+    inside the single scan task (row-group quantization caps scan
+    parallelism no matter the split size — the same artifact
+    q_text_stats/q_dedup_ngram_jaccard document). Hash-exchanging the
+    filtered NARROW projection by l_orderkey first moves only the six
+    needed columns (~40 B/row), and the fine groupBy then reuses that
+    partitioning outright (HashPartitioning(l_orderkey) satisfies the
+    (flag, status, orderkey) clustering — no second exchange) so the
+    heavy aggregation runs at full width. At cluster scale the writer's
+    row-group sizing gives the scan real splits and this exchange is
+    the one the fine groupBy would have needed anyway."""
     li = _t(spark, sf, "lineitem")
     pre = (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+        .repartition(spark.sparkContext.defaultParallelism, F.col("l_orderkey"))
         .groupBy("l_returnflag", "l_linestatus", "l_orderkey")
         .agg(
             F.sum(_money(F.col("l_quantity"))).alias("q"),
@@ -171,7 +193,14 @@ ORDER BY l_orderkey
 
 
 def q_join_broadcast_revenue(spark, sf):
-    """Broadcast dimension join chain (SURVEY J5): revenue per nation."""
+    """Broadcast dimension join chain (SURVEY J5): revenue per nation.
+
+    Round-6 note: measured, not changed — a pre-join spread of the
+    single-row-group orders scan (the fix that pays off for the
+    decimal-dense q_agg_pricing_summary) LOSES here at both sf0.1 and
+    10x (0.39->0.47 s / 0.44->0.67 s): the BHJ probe + single-column
+    sum is cheaper than the exchange it would ride, so the single-task
+    scan stage is not the bottleneck."""
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
@@ -492,18 +521,32 @@ FROM marked GROUP BY user_id ORDER BY user_id
 
 def q_sort_argmax(spark, sf):
     """Per-group argmax (SURVEY O4/O5): each customer's most expensive
-    order via rank-1 window."""
+    order.
+
+    Round-6 plan: a struct-max AGGREGATE — max(struct(price, -orderkey))
+    is exactly the rank-1 row under (price DESC, orderkey ASC) — instead
+    of the round-5 row_number window. The window form shuffled and
+    per-group SORTED the full orders table; the aggregate form map-side
+    combines to one struct per customer per input partition, so the
+    exchange carries ~|customers| rows and nothing is ever sorted except
+    the final output ordering. Identical rows: struct comparison is
+    lexicographic over (raw price, -orderkey) — the exact sort key the
+    window's orderBy used — and the money cast happens after selection,
+    as before."""
     o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    best = F.max(
+        F.struct(
+            F.col("o_totalprice").alias("p"),
+            (-F.col("o_orderkey")).alias("negk"),
+        )
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        o.groupBy("o_custkey")
+        .agg(best.alias("b"))
         .select(
             "o_custkey",
-            "o_orderkey",
-            _as_double(_money(F.col("o_totalprice"))).alias("best_price"),
+            (-F.col("b.negk")).alias("o_orderkey"),
+            _as_double(_money(F.col("b.p"))).alias("best_price"),
         )
         .orderBy("o_custkey")
     )
