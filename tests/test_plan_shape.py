@@ -150,7 +150,12 @@ _HEADLINE_BOUNDS = {
     # round 5: hot add-back fused into the per-id rollup (no LeftOuter
     # SMJ), shingles hashed to longs, both wide exchanges width-pinned
     "dedup_ngram_jaccard": (5, 0, 0),
-    "dedup_minhash_lsh": (7, 0, 0),
+    # round 6: +1 COUNTED exchange — the docs spread switched from
+    # round-robin (RoundRobinPartitioning, invisible to this counter,
+    # and paying a sort-before-repartition pass over the text column)
+    # to doc_id-hash (counted, cheaper); the physical exchange count is
+    # unchanged
+    "dedup_minhash_lsh": (8, 0, 0),
     # round 6: +1 exchange — the doc_id-hash spread of the single-row-
     # group documents scan, so the Arrow SimHash stage runs full-width
     # instead of one python worker per parquet row group
@@ -274,3 +279,27 @@ def test_fuzzy_link_auto_broadcast_regimes(spark, tmp_path):
     assert re.search(r"Exchange hashpartitioning\(band", large), large
     assert sorted(map(tuple, large_df.collect())) == rows_small
     assert rows_small and rows_small[0][0] == 1 and rows_small[0][1] == 10
+
+
+def test_sim_tfidf_broadcast_regimes(spark, monkeypatch):
+    """q_sim_tfidf_topk's vocabulary-derived frames (per-term df, probe
+    weights) must not be FORCE-broadcast past the size threshold
+    (round-5 verdict #5): above it only the planner/AQE may broadcast,
+    from real sizes."""
+    import theoremkb_spark.queries_docs as qd
+
+    sf = "/root/testdata/sf0.01"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_small = _plan(qd.q_sim_tfidf_topk(spark, sf))
+        monkeypatch.setattr(qd, "SIM_TFIDF_BROADCAST_MAX_BYTES", -1)
+        plan_large = _plan(qd.q_sim_tfidf_topk(spark, sf))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # small regime: the df_/probes hints fire as broadcast HASH joins on
+    # term; large regime: none remain (the always-tiny n_docs count
+    # frame keeps its BroadcastNestedLoopJoin crossJoin in both)
+    assert plan_small.count("BroadcastHashJoin") >= 2, plan_small
+    assert "BroadcastHashJoin" not in plan_large, plan_large
+    assert "BroadcastNestedLoopJoin" in plan_large

@@ -172,10 +172,13 @@ def q_dedup_ngram_jaccard(spark, sf):
     # parquet split, so the CPU-heavy shingle explode would run in a
     # single task (measured 3.5 s of a 6 s cold run at sf0.1 — the whole
     # stage serialized on one core). Spreading the 5k raw doc rows costs
-    # a trivial exchange. At cluster scale the scan itself yields enough
-    # byte-bounded splits and this repartition becomes a no-op to drop.
+    # a trivial exchange. doc_id-hash, not round-robin (round 6): unique
+    # ids spread evenly and skip round-robin's sort-before-repartition
+    # pass over the text column (the fix q_dedup_simhash already rides).
+    # At cluster scale the scan itself yields enough byte-bounded splits
+    # and this repartition becomes a no-op to drop.
     d = _t(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.12).orderBy(
         "id_a", "id_b"
@@ -226,9 +229,10 @@ def q_dedup_minhash_lsh(spark, sf):
     parquet by __spark_entry__; recall vs exact Jaccard is additionally
     pytest-gated."""
     # same single-split scan artifact as q_dedup_ngram_jaccard: spread
-    # the docs before the shingle explode
+    # the docs before the shingle explode (doc_id-hash — no round-robin
+    # pre-sort of the text column)
     d = _t(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     return minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.12
@@ -378,6 +382,11 @@ def q_multimodal_features(spark, sf):
 
 # ------------------------------------------ linking / similarity / sampling
 
+# Auto-broadcast threshold for q_sim_tfidf_topk's vocabulary-derived
+# frames (per-term document frequencies, probe weights): same 64 MB
+# convention as pipeline/link.BROADCAST_DICT_MAX_BYTES.
+SIM_TFIDF_BROADCAST_MAX_BYTES = 64 << 20
+
 
 def q_sim_tfidf_topk(spark, sf):
     """TF-IDF cosine best-match per probe doc — the reference's theorem
@@ -386,7 +395,23 @@ def q_sim_tfidf_topk(spark, sf):
     reference's clean_thm chain (F8, thmtools.py:64-70): explode->tf,
     df->idf, sparse dot product via a term equi-join (blocking: only
     co-occurring terms pair up), window argmax per probe.
-    Probes = doc_id % 100 == 0."""
+    Probes = doc_id % 100 == 0.
+
+    Round-6 (round-5 verdict #5): the df_/probes broadcasts are
+    AUTO-SIZED from Catalyst's estimate instead of forced — at demo
+    scale both are kilobytes and still broadcast; at web-corpus scale a
+    vocabulary-sized frame falls back to the planner's shuffled join
+    (with AQE free to re-broadcast from ACTUAL sizes, the safe
+    direction). Threshold is module-level so the regime test can force
+    the large branch."""
+    import theoremkb_spark.queries_docs as _self
+    from .pipeline.link import _fits_broadcast
+
+    def _maybe_bc(frame):
+        if _fits_broadcast(frame, _self.SIM_TFIDF_BROADCAST_MAX_BYTES):
+            return F.broadcast(frame)
+        return frame
+
     from .operators.textquality import clean_thm_col
 
     d = _t(spark, sf, "documents").select("doc_id", "text")
@@ -399,7 +424,7 @@ def q_sim_tfidf_topk(spark, sf):
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     w = (
-        terms.join(F.broadcast(df_), "term")
+        terms.join(_maybe_bc(df_), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -412,7 +437,7 @@ def q_sim_tfidf_topk(spark, sf):
         F.col("doc_id").alias("src"), "term", F.col("w").alias("ws")
     )
     dots = (
-        F.broadcast(probes)
+        _maybe_bc(probes)
         .join(w.select(F.col("doc_id").alias("dst"), "term", F.col("w").alias("wd")), "term")
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
