@@ -27,10 +27,17 @@ def ensure_fixture(n_docs: int, seed: int = 42) -> tuple[str, str]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from theoremkb_spark.corpus.generator import entity_dict_rows, tei_rows
+    from theoremkb_spark.corpus.generator import (
+        CORPUS_VERSION,
+        entity_dict_rows,
+        tei_rows,
+    )
 
-    tei_path = f"/tmp/tei_bench_{n_docs}.parquet"
-    dico_path = f"/tmp/tei_bench_dico_{n_docs}.parquet"
+    # fixture keyed on corpus version + seed (advisor round-5 note:
+    # n_docs alone silently reuses stale fixtures across generator edits
+    # — bench.py's pages_path convention)
+    tei_path = f"/tmp/tei_bench_v{CORPUS_VERSION}_s{seed}_{n_docs}.parquet"
+    dico_path = f"/tmp/tei_bench_dico_v{CORPUS_VERSION}_s{seed}_{n_docs}.parquet"
     if not (os.path.exists(tei_path) and os.path.exists(dico_path)):
         rows = list(tei_rows(n_docs, seed))
         pq.write_table(
@@ -95,7 +102,13 @@ def main() -> None:
             reps = []
             rows = tei_links(
                 spark.read.parquet(tei_path), spark.read.parquet(dico_path)
-            ).count()  # untimed warm-up + row count for the artifact
+            ).count()  # row count for the artifact
+            # warm with the SAME plan the timed reps run (advisor round-5
+            # note: count() plans differently, so rep 1 otherwise pays
+            # one-time codegen and the min is effectively min-of-(reps-1))
+            tei_links(
+                spark.read.parquet(tei_path), spark.read.parquet(dico_path)
+            ).write.format("noop").mode("overwrite").save()
             for _ in range(args.reps):
                 t0 = time.monotonic()
                 out = tei_links(
