@@ -239,6 +239,27 @@ def q_dedup_minhash_lsh(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def _adaptive_spread_width(df, spark, bytes_per_task: int = 75_000) -> int:
+    """Scale-adaptive spread width for the single-row-group demo scans:
+    ~bytes_per_task of (compressed, Catalyst-estimated) input per task,
+    capped at the core count, floored at 1. Derived from input size per
+    the optimization-guide partitioning rule rather than pinned to the
+    local core count: a tiny sf never pays 32 Arrow workers' spin-up
+    for kilobytes of text (measured at sf0.1: width 8 -> 0.31 s vs
+    width 32 -> 0.47 s vs no spread 0.42 s for SimHash), and a big sf
+    saturates the cores (width caps at defaultParallelism). At cluster
+    scale the writer's row-group sizing gives the scan real splits and
+    the spread is a cheap keyed exchange either way."""
+    from .operators.dedup import _estimated_bytes
+
+    est = _estimated_bytes(df)
+    if est >= (1 << 62):  # unknowable stats (driver-local frame)
+        return spark.sparkContext.defaultParallelism
+    return max(
+        1, min(spark.sparkContext.defaultParallelism, est // bytes_per_task)
+    )
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs (md5-bit-vote Arrow kernel). Oracle: the
     sequential twin in corpus/dedup_oracle.py, materialized to parquet
@@ -248,9 +269,9 @@ def q_dedup_simhash(spark, sf):
     # (row-group quantization, not split size, caps scan parallelism).
     # doc_id-hash, not round-robin: unique ids spread evenly and skip
     # round-robin's sort-before-repartition pass over the text column.
-    d = _t(spark, sf, "documents").repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    )
+    # Width is input-size-adaptive (round 6), not the core count.
+    d = _t(spark, sf, "documents")
+    d = d.repartition(_adaptive_spread_width(d, spark), F.col("doc_id"))
     return simhash_near_dups(d, "doc_id", "text", max_hamming=8).orderBy(
         "id_a", "id_b"
     )
