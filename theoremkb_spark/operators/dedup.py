@@ -118,6 +118,7 @@ def capped_shingles(
     max_doc_freq: int | None,
     source: DataFrame | None = None,
     broadcast_max_source_bytes: int = HOT_BROADCAST_MAX_SOURCE_BYTES,
+    key: str = "shingle",
 ) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_doc_freq``
     from the BLOCKING side only.
@@ -139,14 +140,19 @@ def capped_shingles(
     (driver-local frames, which fit in driver memory by construction —
     the same convention pipeline/link.py uses) counts as small;
     ``source=None`` keeps the historical broadcast behaviour for
-    callers that know their corpus is small."""
+    callers that know their corpus is small.
+
+    ``key`` selects the cap column: the MinHash path passes its hashed
+    8-byte ``hs`` so the df aggregation's partial rows and the hot set
+    itself carry longs instead of ~25-byte gram strings (same
+    collision bet the verify joins already take)."""
     if max_doc_freq is None:
         return sh
     hot = (
-        sh.groupBy("shingle")
+        sh.groupBy(key)
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > max_doc_freq)
-        .select("shingle")
+        .select(key)
     )
     _unknown = (1 << 63) - 1
     if source is None or (
@@ -154,7 +160,7 @@ def capped_shingles(
         or est <= broadcast_max_source_bytes
     ):
         hot = F.broadcast(hot)
-    return sh.join(hot, "shingle", "left_anti")
+    return sh.join(hot, key, "left_anti")
 
 
 def ngram_jaccard_candidates(
@@ -377,9 +383,15 @@ def minhash_lsh_pairs(
     reg = _last_caches if cache_registry is None else cache_registry
 
     rows = num_hashes // bands
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = (
+        shingles(df, id_col, text_col, n)
+        .withColumn("hs", F.xxhash64("shingle"))
+        .cache()
+    )
     reg.append(sh)
-    sig = minhash_signatures(capped_shingles(sh, max_doc_freq, source=df), num_hashes)
+    sig = minhash_signatures(
+        capped_shingles(sh, max_doc_freq, source=df, key="hs"), num_hashes
+    )
     banded = banded_signatures(sig, bands, rows)
 
     a = banded.select(F.col("id").alias("id_a"), "band", "sig")
@@ -393,7 +405,7 @@ def minhash_lsh_pairs(
 
     # exact verification on the candidate set only, over the full
     # (hashed-long) shingle sets
-    shh = sh.select("id", F.xxhash64("shingle").alias("hs"))
+    shh = sh.select("id", "hs")
     sizes = shh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sa = shh.select(F.col("id").alias("id_a"), "hs")
     sb = shh.select(F.col("id").alias("id_b"), "hs")
