@@ -71,6 +71,15 @@ def test_kg_plan_shape(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
+    # round 6: the broadcast-regime fused path assembles triples in ONE
+    # pass (conditional-explode + a single dico join) and the rollup
+    # groupBy(subj, pred, obj, url) reuses the url repartition's
+    # HashPartitioning — a regression that re-shuffles the triples by
+    # their full key (the old union form's exchange) shows up as a
+    # hashpartitioning on subj
+    assert "hashpartitioning(subj" not in plan, "triple rollup re-shuffles"
+    assert "Generate explode" in plan or "Generate" in plan
+
 
 def test_fuzzy_link_plan_broadcasts_dictionary(spark):
     from theoremkb_spark.pipeline.link import fuzzy_link_lsh

@@ -342,7 +342,8 @@ def run_incremental(
     stages: dict[str, DataFrame] = {}
     triples = build_kg(
         spark, todo, entity_dict, cache_registry=caches, stages_out=stages
-    )
+    ).cache()  # two consumers: the commit write + the triples lineage row
+    caches.append(triples)
     try:
         stages["triples"] = triples
         # mark every attempted url as processed — including zero-triple and
@@ -382,7 +383,11 @@ def recommit_urls(
     if todo.isEmpty():
         return -1
     caches: list[DataFrame] = []
-    triples = build_kg(spark, todo, entity_dict, cache_registry=caches)
+    # cache the FINAL triples (tiny), not the pipeline intermediates:
+    # commit_batch runs two actions over them (parquet write + lineage)
+    # and the single-pass fused assembly is otherwise uncached
+    triples = build_kg(spark, todo, entity_dict, cache_registry=caches).cache()
+    caches.append(triples)
     try:
         batch_id = store.commit_batch(
             triples,

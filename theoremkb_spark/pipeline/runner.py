@@ -134,6 +134,99 @@ def build_triples(
     )
 
 
+def build_triples_fused(fused: DataFrame, dico: DataFrame) -> DataFrame:
+    """Single-pass triples assembly over the url-hash-partitioned fused
+    table, for the broadcast-dictionary regime.
+
+    Semantically identical to ``build_triples`` over the fused table's
+    span/mention/cite projections (gated by the fused-vs-window identity
+    test and the kg oracle rows), but the physical plan collapses the
+    six branch scans of the cache (6 x n_partitions tasks) plus the
+    union's rollup exchange into ONE scan: each fused row emits its
+    triples through a conditional-array explode, the dictionary is
+    attached by a single broadcast left join (broadcast preserves the
+    stream side's partitioning), and the final
+    groupBy(subj, pred, obj, url) reuses HashPartitioning(url) — url is
+    a subset of the grouping keys — so the rollup needs NO exchange.
+    Zero shuffles downstream of the fused repartition.
+
+    Only valid when the dictionary fits broadcast: the salted regime
+    (dictionary past BROADCAST_DICT_MAX_BYTES) keeps the ``build_triples``
+    union form, whose per-branch salted joins handle the hot-key skew.
+    """
+    url, own = F.col("url"), F.col("own_name")
+    kind, ref_kind = F.col("kind"), F.col("ref_kind")
+    rel = fused.filter(
+        (kind == "cite")
+        | ((kind == "span") & own.isNotNull())
+        | ((kind == "mention") & own.isNotNull() & ref_kind.isin("intra", "extra"))
+    )
+    # one join key column for both dictionary consumers: cite rows carry
+    # their anchor tag, extra-mention rows their mined ref_tag; span and
+    # intra rows get NULL (an equi-join never matches NULL, so they pass
+    # through the left join untouched)
+    rel = rel.withColumn(
+        "_jtag",
+        F.when(kind == "cite", F.col("tag")).when(
+            (kind == "mention") & (ref_kind == "extra"), F.col("ref_tag")
+        ),
+    )
+    joined = rel.join(
+        F.broadcast(dico.withColumnRenamed("tag", "_jtag")), ["url", "_jtag"], "left"
+    )
+
+    own_ent = _entity(url, own)
+    target = F.coalesce(
+        F.col("pdf_to_canon"), F.concat(F.lit("unresolved:"), F.col("_jtag"))
+    )
+
+    def _t(subj, pred, obj, grp):
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            grp.cast("long").alias("group"),
+        )
+
+    grp = F.col("group")
+    e1 = (
+        F.when(kind == "span", _t(own_ent, "statement_of", url, grp))
+        .when(
+            (kind == "mention") & (ref_kind == "intra"),
+            _t(own_ent, "cites", _entity(url, F.col("ref_name")), grp),
+        )
+        .when(
+            (kind == "mention") & (ref_kind == "extra"),
+            _t(own_ent, "cites", _entity(target, F.col("ref_name")), grp),
+        )
+        .when(kind == "cite", _t(url, "cites", target, F.lit(-1)))
+    )
+    e2 = F.when(
+        (kind == "span") & (F.col("label") == "proof"),
+        _t(own_ent, "proved_in", url, grp),
+    ).when(
+        (kind == "span") & (F.col("label") == "definition"),
+        _t(own_ent, "defined_in", url, grp),
+    )
+    return (
+        joined.select("url", F.explode(F.array(e1, e2)).alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        # coalesce against a non-null literal restores pred's
+        # non-nullable schema flag (the union form's F.lit preds are
+        # non-nullable; a struct field out of a `when` chain is not) —
+        # value-neutral, pred is never NULL in surviving rows
+        .select(
+            "_t.subj",
+            F.coalesce(F.col("_t.pred"), F.lit("")).alias("pred"),
+            "_t.obj",
+            "url",
+            "_t.group",
+        )
+        .groupBy("subj", "pred", "obj", "url")
+        .agg(F.min("group").alias("group"))
+    )
+
+
 def release_caches(registry: list[DataFrame]) -> None:
     """Unpersist every intermediate collected in a ``cache_registry``.
 
@@ -202,6 +295,24 @@ def build_kg(
         mult = 1 if labeler == "fused" else 4
         n_partitions = mult * spark.sparkContext.defaultParallelism
 
+    if join_strategy == "auto":
+        # decide ONCE here, from the RAW dictionary input: the
+        # canonicalized dico's own plan runs through the CC joins, whose
+        # Catalyst stats multiply into a useless overestimate, while
+        # canonicalization only ever SHRINKS the dictionary — so the
+        # pre-canon size is the conservative-correct broadcast basis.
+        # Resolved BEFORE the stage wiring because the strategy also
+        # decides the assembly form (single-pass vs union) and with it
+        # whether the fused table has one consumer or six (caching).
+        from .link import BROADCAST_DICT_MAX_BYTES, _fits_broadcast
+
+        basis = entity_dict if entity_dict is not None else dico
+        join_strategy = (
+            "broadcast"
+            if _fits_broadcast(basis, BROADCAST_DICT_MAX_BYTES)
+            else "salted"
+        )
+
     if labeler == "fused":
         # single Arrow pass: parse + label + span assembly + name
         # resolution per document (extract.extract_spans), MAP-ONLY over
@@ -217,11 +328,18 @@ def build_kg(
         # groupBy/window a reusable HashPartitioning.
         from .extract import extract_spans
 
-        fused = _cached(
-            extract_spans(pages, english_only=True, model_file=model_file).repartition(
-                n_partitions, F.col("url")
-            )
-        )
+        fused = extract_spans(
+            pages, english_only=True, model_file=model_file
+        ).repartition(n_partitions, F.col("url"))
+        # the broadcast-regime single-pass assembly (build_triples_fused)
+        # consumes fused exactly ONCE — caching there is pure overhead,
+        # and skipping it keeps the repartition's HashPartitioning(url)
+        # statically visible so the triple rollup plans with NO exchange
+        # (a cached plan hides its partitioning behind AdaptiveSparkPlan
+        # until materialized). The union form (salted regime) and the
+        # lineage hook scan fused repeatedly — cache for those.
+        if stages_out is not None or join_strategy != "broadcast":
+            fused = _cached(fused)
         spans = fused.filter(F.col("kind") == "span").select(
             "url", "group", "label", "text", "own_name"
         )
@@ -277,24 +395,14 @@ def build_kg(
             stages_out.update(
                 tokens=tokens, spans=spans, mentions=mentions, citations=citations
             )
-    if join_strategy == "auto":
-        # decide ONCE here, from the RAW dictionary input: the
-        # canonicalized dico's own plan runs through the CC joins, whose
-        # Catalyst stats multiply into a useless overestimate, while
-        # canonicalization only ever SHRINKS the dictionary — so the
-        # pre-canon size is the conservative-correct broadcast basis
-        from .link import BROADCAST_DICT_MAX_BYTES, _fits_broadcast
-
-        basis = entity_dict if entity_dict is not None else dico
-        join_strategy = (
-            "broadcast"
-            if _fits_broadcast(basis, BROADCAST_DICT_MAX_BYTES)
-            else "salted"
-        )
     if dico is None:
         # the dictionary is broadcast-sized and consumed by two joins —
         # cache it so the CC canonicalization runs once
         dico = _cached(canonicalize_dict(entity_dict))
+    if labeler == "fused" and join_strategy == "broadcast":
+        # single-pass assembly: one scan of the fused cache, one
+        # broadcast join, rollup exchange-free (see build_triples_fused)
+        return build_triples_fused(fused, dico)
     return build_triples(spans, mentions, citations, dico, join_strategy=join_strategy)
 
 

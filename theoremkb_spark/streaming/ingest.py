@@ -62,7 +62,10 @@ def stream_pages_to_store(
         if todo.isEmpty():
             return
         caches: list[DataFrame] = []
-        triples = build_kg(spark, todo, dico=dico, cache_registry=caches)
+        # cache the final triples: commit_batch runs two actions over
+        # them (write + lineage) and the fused assembly is uncached
+        triples = build_kg(spark, todo, dico=dico, cache_registry=caches).cache()
+        caches.append(triples)
         try:
             store.commit_batch(
                 triples, todo.select("url"), lineage_rows(triples, "triples")
