@@ -114,6 +114,105 @@ def occurrences_padded(padded: Column, word: str) -> Column:
     ).cast("long")
 
 
+def _text_counts_udf():
+    """Arrow-batched twin of the n_tokens / n_punct / stop_hits count
+    expressions, fused into ONE pass over the pre-normalized column
+    (guide §4.2). The JVM form pays ~9 full-string scans per row (7
+    stopword ``replace`` rebuilds + the punct regex + the token split);
+    this kernel is 8 ``pc.count_substring`` calls and one RE2 count per
+    batch, no string rebuilt anywhere.
+
+    Exact-parity notes (each is pinned by the text_stats oracle hash):
+
+    * ``count_substring`` counts non-overlapping matches left-to-right —
+      the same greedy skip ``replace``-based counting performs (verified
+      on the self-overlapping ``' the the '`` case: both count 1);
+    * punct is counted over NORM, not the raw text: whitespace
+      normalization only rewrites whitespace, and the counted class
+      ``[^a-zA-Z0-9\\s]`` excludes whitespace entirely, so the count is
+      unchanged — and Java's ``\\s`` is spelled out as the ASCII set
+      ``[ \\t\\n\\x0b\\f\\r]`` (RE2's ``\\s`` lacks ``\\x0b``);
+    * n_tokens = spaces + 1 on the normalized string (runs already
+      collapsed, ends trimmed), 0 for empty — identical to
+      ``size(split(norm, ' '))`` under the empty-guard."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("n_punct", T.LongType()),
+            T.StructField("stop_hits", T.LongType()),
+        ]
+    )
+
+    def counts(norm):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.Array.from_pandas(norm)
+        spaces = pc.count_substring(arr, " ")
+        n_tokens = pc.if_else(
+            pc.equal(pc.utf8_length(arr), 0),
+            pa.scalar(0, pa.int32()),
+            pc.add(spaces, 1),
+        )
+        pad = pa.nulls(len(arr), pa.string()).fill_null(" ")
+        padded = pc.binary_join_element_wise(pad, arr, pad, "")
+        stop = None
+        for w in STOPWORDS_EN:
+            c = pc.count_substring(padded, f" {w} ")
+            stop = c if stop is None else pc.add(stop, c)
+        n_punct = pc.count_substring_regex(arr, "[^a-zA-Z0-9 \t\n\x0b\f\r]")
+        return pd.DataFrame(
+            {
+                "n_tokens": n_tokens.to_pandas(),
+                "n_punct": pc.cast(n_punct, pa.int64()).to_pandas(),
+                "stop_hits": pc.cast(stop, pa.int64()).to_pandas(),
+            }
+        )
+
+    # no type hints on purpose: the hint-inference path does not accept
+    # the Series -> DataFrame (struct-returning) scalar form
+    return F.pandas_udf(counts, out_t)
+
+
+def text_stats_columns_from_counts(
+    text: Column, norm: Column, n_tokens: Column, n_punct: Column, stop_hits: Column
+) -> dict[str, Column]:
+    """The q_text_stats output map over PRE-COMPUTED count columns (the
+    Arrow kernel above): the md5 fingerprint and the exact-decimal
+    quality composite stay in the JVM — bit-identical formulas to
+    ``text_stats_columns``, fed by counts instead of re-deriving them."""
+    fp = F.md5(F.encode(F.lower(norm), "UTF-8"))
+    words_d = n_tokens.cast("decimal(18,6)")
+    chars_d = F.greatest(F.length(text), F.lit(1)).cast("decimal(18,6)")
+    stop_d = stop_hits.cast("decimal(18,6)")
+    punct_d = n_punct.cast("decimal(18,6)")
+    len_term = F.least(
+        F.round(words_d / F.lit(200).cast("decimal(18,6)"), 6),
+        F.lit(1).cast("decimal(18,6)"),
+    )
+    stop_term = F.least(
+        F.round(stop_d * 10 / F.greatest(words_d, F.lit(1).cast("decimal(18,6)")), 6),
+        F.lit(1).cast("decimal(18,6)"),
+    )
+    punct_term = F.round(punct_d / chars_d, 6)
+    quality = F.round(
+        len_term * F.lit("0.4").cast("decimal(18,6)")
+        + stop_term * F.lit("0.4").cast("decimal(18,6)")
+        + (F.lit(1).cast("decimal(18,6)") - punct_term) * F.lit("0.2").cast("decimal(18,6)"),
+        6,
+    ).cast("double")
+    return {
+        "n_tokens": n_tokens,
+        "n_punct": n_punct,
+        "stop_hits": stop_hits,
+        "fp": fp,
+        "quality": quality,
+    }
+
+
 def text_stats_columns(text: Column, norm: Column, padded: Column) -> dict[str, Column]:
     """The q_text_stats output expressions, factored over pre-computed
     ``norm`` = norm_ws(text) and ``padded`` = ' ' || norm || ' ' columns.

@@ -55,7 +55,11 @@ def q_text_stats(spark, sf):
       size). A doc_id-hash exchange of the raw rows buys full-width
       codegen without round-robin's sort-before-repartition; at cluster
       scale the writer's row-group sizing makes this a no-op."""
-    from .operators.textquality import norm_ws, text_stats_columns
+    from .operators.textquality import (
+        _text_counts_udf,
+        norm_ws,
+        text_stats_columns_from_counts,
+    )
 
     # ORDER BEFORE PROJECTING: a global orderBy placed after the heavy
     # projection makes the range partitioner's sampling pass re-execute
@@ -66,13 +70,29 @@ def q_text_stats(spark, sf):
     # runs once, post-sort, at full width. Projections preserve
     # intra-partition order and range partitions are in key order, so
     # the collected output ordering is identical.
+    #
+    # Round 6 second pass: the count expressions (7 stopword `replace`
+    # rebuilds + punct regex + token split — ~9 full-string scans per
+    # row in the JVM) are fused into ONE Arrow kernel over the
+    # pre-normalized column (guide §4.2; operators.textquality.
+    # _text_counts_udf, parity notes there). The md5 fingerprint and
+    # the exact-decimal quality composite stay in the JVM. Identical
+    # output (exceptAll both ways = 0 at sf0.1 and the 10x layout);
+    # interleaved A/B: 10x-layout 1.74 -> 0.66 s min (2.6x), sf0.1
+    # 0.51 -> 0.45 s.
     d = _t(spark, sf, "documents").select("doc_id", "text").orderBy("doc_id")
     base = d.select(
         "doc_id",
         "text",
         norm_ws(F.col("text")).alias("_norm"),
-    ).withColumn("_padded", F.concat(F.lit(" "), F.col("_norm"), F.lit(" ")))
-    cols = text_stats_columns(F.col("text"), F.col("_norm"), F.col("_padded"))
+    ).withColumn("_c", _text_counts_udf()(F.col("_norm")))
+    cols = text_stats_columns_from_counts(
+        F.col("text"),
+        F.col("_norm"),
+        F.col("_c.n_tokens"),
+        F.col("_c.n_punct"),
+        F.col("_c.stop_hits"),
+    )
     return base.select(
         "doc_id", *[expr.alias(name) for name, expr in cols.items()]
     )
